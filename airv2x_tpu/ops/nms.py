@@ -1,0 +1,91 @@
+"""On-device greedy rotated NMS (jit-compatible, fixed capacity).
+
+The reference runs NMS on the host with shapely polygons
+(box_utils.nms_rotated, box_utils.py:823-868): GPU->CPU copy, python loop,
+O(N^2) polygon IoU one row at a time — the CPU-bound tail of every inference
+step. Here the whole thing stays on device:
+
+  1. top-K selection by score (K = the reference's ``top = 1000`` cap),
+  2. one batched K x K rotated-IoU matrix (ops.rotated_iou),
+  3. greedy suppression as a `lax.fori_loop` over K steps of masked vector
+     updates (each step is one VPU-width row operation).
+
+Returns a fixed-size keep mask instead of a ragged index list, so downstream
+eval can stay jitted too. Greedy order (descending score, ties by original
+index via stable sort) matches the reference, so the surviving set is
+identical given identical IoUs.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from airv2x_tpu.ops.rotated_iou import pairwise_quad_iou
+
+
+@partial(jax.jit, static_argnames=("top_k",))
+def rotated_nms(
+    corners_bev: jnp.ndarray,
+    scores: jnp.ndarray,
+    valid: jnp.ndarray,
+    iou_threshold: float | jnp.ndarray,
+    top_k: int = 1024,
+):
+    """Greedy rotated NMS over padded candidates.
+
+    Parameters
+    ----------
+    corners_bev : (N, 4, 2) BEV corner quads (padding rows arbitrary).
+    scores : (N,) confidence scores.
+    valid : (N,) bool — candidate liveness (padding = False).
+    iou_threshold : scalar suppression threshold (strict ``>``, as reference).
+    top_k : static cap on candidates entering NMS (reference: 1000).
+
+    Returns
+    -------
+    keep : (N,) bool — kept after NMS (False for suppressed / padding).
+    """
+    n = scores.shape[0]
+    k = min(top_k, n)
+
+    neg_inf = jnp.asarray(-jnp.inf, scores.dtype)
+    masked_scores = jnp.where(valid, scores, neg_inf)
+    top_scores, top_idx = jax.lax.top_k(masked_scores, k)
+    top_corners = corners_bev[top_idx]
+    top_valid = top_scores > neg_inf
+
+    iou = pairwise_quad_iou(top_corners, top_corners)  # (k, k)
+
+    # over[i, j] == True: the better-ranked box i suppresses j *if i is kept*.
+    rank = jnp.arange(k)
+    earlier = rank[:, None] < rank[None, :]
+    over = (iou > iou_threshold) & earlier & top_valid[:, None]
+
+    # Exact greedy NMS as a fixpoint: the greedy keep-set G is the unique
+    # fixpoint of f(A) = {j : valid_j and no kept i<j in A overlaps j}
+    # (uniqueness by induction on rank). f is antitone, so iterating from
+    # A0 = valid gives A0 ⊇ A2 ⊇ ... ⊇ G ⊇ ... ⊆ A3 ⊆ A1 and converges to G
+    # in O(longest suppression chain) passes — each pass one (K, K) masked
+    # reduction instead of K sequential scalar steps (which cost ~260 us of
+    # loop latency per step on TPU).
+    def step(alive):
+        suppressed = jnp.any(over & alive[:, None], axis=0)
+        return top_valid & ~suppressed
+
+    def cond(state):
+        alive, prev, it = state
+        return jnp.any(alive != prev) & (it < k)
+
+    def body(state):
+        alive, _, it = state
+        return step(alive), alive, it + 1
+
+    alive, _, _ = jax.lax.while_loop(
+        cond, body, (step(top_valid), top_valid, jnp.int32(0))
+    )
+
+    keep = jnp.zeros((n,), dtype=bool).at[top_idx].set(alive, mode="drop")
+    return keep & valid
