@@ -1,0 +1,91 @@
+"""On-device detection decode: logits -> boxes -> filters -> rotated NMS.
+
+Fixed-capacity twin of VoxelPostprocessor.post_process_airv2x
+(voxel_postprocessor.py:666-839). Everything stays jit-compatible: instead
+of ragged masked_select, every candidate keeps a liveness mask through the
+stages (objectness gate -> large-box / abnormal-z filters -> rotated NMS ->
+range mask), and the caller reads out the final (boxes, scores, labels,
+mask) without host sync inside the step.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from airv2x_tpu.ops import geometry as geo
+from airv2x_tpu.ops.boxes import decode_boxes
+from airv2x_tpu.ops.nms import rotated_nms
+
+
+class Detections(NamedTuple):
+    boxes: jnp.ndarray  # (N, 7) decoded hwl boxes (cav frame)
+    corners: jnp.ndarray  # (N, 8, 3) projected corners (ego frame)
+    scores: jnp.ndarray  # (N,) objectness
+    labels: jnp.ndarray  # (N,) class ids (1-based)
+    mask: jnp.ndarray  # (N,) final keep mask
+
+
+@partial(
+    jax.jit,
+    static_argnames=("num_class", "obj_threshold", "nms_thresh", "top_k"),
+)
+def decode_detections(
+    psm: jnp.ndarray,
+    rm: jnp.ndarray,
+    obj: jnp.ndarray,
+    anchors: jnp.ndarray,
+    transformation_matrix: jnp.ndarray,
+    lidar_range: jnp.ndarray,
+    *,
+    num_class: int,
+    obj_threshold: float,
+    nms_thresh: float,
+    top_k: int = 1024,
+) -> Detections:
+    """Single-sample decode. psm (H, W, A*C), rm (H, W, 7A), obj (H, W, A);
+    anchors (H, W, A, 7)."""
+    h, w, a = obj.shape
+
+    objness = jax.nn.sigmoid(obj.astype(jnp.float32)).reshape(-1)  # (N,)
+    flat_anchors = anchors.reshape(-1, 7)
+
+    deltas = rm.astype(jnp.float32).reshape(h, w, a, 7).reshape(-1, 7)
+    boxes = decode_boxes(deltas, flat_anchors)  # (N, 7)
+
+    # class: sigmoid over (A, C), background column dropped, argmax + 1
+    cls = jax.nn.sigmoid(psm.astype(jnp.float32).reshape(h, w, a, num_class))
+    cls = cls.reshape(-1, num_class)[:, 1:]
+    labels = jnp.argmax(cls, axis=-1).astype(jnp.int32) + 1
+
+    valid = objness > obj_threshold
+
+    corners = geo.boxes_to_corners_3d(boxes, order="hwl")  # (N, 8, 3)
+    corners = geo.project_corners(corners, transformation_matrix)
+
+    z_min, z_max = lidar_range[2], lidar_range[5]
+    valid &= geo.keep_reasonable_boxes(corners, z_min=z_min, z_max=z_max)
+
+    keep = rotated_nms(
+        corners[:, :4, :2], objness, valid, nms_thresh, top_k=top_k
+    )
+
+    keep &= geo.mask_boxes_in_range_bev(corners, lidar_range)
+
+    return Detections(
+        boxes=boxes, corners=corners, scores=objness, labels=labels, mask=keep
+    )
+
+
+def decode_detections_batch(psm, rm, obj, anchors, transform, lidar_range, **kw):
+    """vmap over the batch axis of NHWC head outputs."""
+    fn = partial(
+        decode_detections,
+        **kw,
+    )
+    return jax.vmap(lambda p, r, o, t: fn(p, r, o, anchors, t, lidar_range))(
+        psm, rm, obj, transform
+    )

@@ -1,0 +1,14 @@
+"""Model zoo: flax modules, NHWC layout, shape-static, jit/pjit friendly.
+
+``build_model(hypes)`` resolves the config's ``model.core_method`` through an
+explicit registry (the reference uses importlib + case-insensitive class-name
+matching, tools/train_utils.py:288-325 — here names are exact keys).
+"""
+
+from airv2x_tpu.models.registry import MODEL_REGISTRY, build_model, register_model
+
+# Import model modules for registration side effects.
+from airv2x_tpu.models import where2comm_model  # noqa: F401
+from airv2x_tpu.models import intermediate_models  # noqa: F401
+
+__all__ = ["MODEL_REGISTRY", "build_model", "register_model"]

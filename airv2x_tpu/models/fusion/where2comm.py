@@ -1,0 +1,155 @@
+"""Where2comm fusion: confidence-gated communication + per-pixel attention.
+
+Behavioural twin of where2comm_modules/where2comm_fuse.py:48-287, dense-agent
+formulation:
+
+  * Communication (:48-149): sigmoid confidence -> max over anchor/class
+    channels -> fixed 5x5 gaussian smoothing -> binary mask. Training uses
+    the official random-top-K proxy objective (a uniformly random fraction u
+    of pixels kept, by confidence rank) — implemented as a per-agent
+    rank-threshold so K stays traced-friendly. Eval thresholds at a fixed
+    confidence. The ego agent's mask is always 1.
+  * Multi-scale fusion (:214-263): re-runs the (shared) backbone stages on
+    masked features, fusing agents with ego-query attention at every scale,
+    then deconvs + concatenates.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from airv2x_tpu.models.fusion.common import ego_agent_attention
+
+
+def _gaussian_kernel(k_size: int, sigma: float) -> np.ndarray:
+    half = k_size // 2
+    x, y = np.mgrid[-half : k_size - half, -half : k_size - half]
+    g = 1.0 / (2 * np.pi * sigma) * np.exp(-(x**2 + y**2) / (2 * sigma**2))
+    return g.astype(np.float32)
+
+
+def gaussian_smooth(conf: jnp.ndarray, k_size: int, sigma: float) -> jnp.ndarray:
+    """Fixed (non-learned) gaussian blur of (..., H, W) confidence maps.
+
+    The reference loads the same unnormalized gaussian into a frozen conv
+    (where2comm_fuse.py:66-81).
+    """
+    kern = jnp.asarray(_gaussian_kernel(k_size, sigma), conf.dtype)
+    lead = conf.shape[:-2]
+    x = conf.reshape((-1, conf.shape[-2], conf.shape[-1], 1))
+    out = jax.lax.conv_general_dilated(
+        x,
+        kern[:, :, None, None],
+        window_strides=(1, 1),
+        padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    return out[..., 0].reshape(lead + conf.shape[-2:])
+
+
+class Communication(nn.Module):
+    threshold: float = 0.01
+    smooth: bool = True
+    k_size: int = 5
+    c_sigma: float = 1.0
+
+    @nn.compact
+    def __call__(self, psm, agent_mask, *, train: bool, rng=None):
+        """psm: (B, L, H, W, AC) confidence logits -> (mask (B, L, H, W),
+        comm_rate scalar)."""
+        b, l, h, w, _ = psm.shape
+        conf = jnp.max(jax.nn.sigmoid(psm), axis=-1)  # (B, L, H, W)
+        if self.smooth:
+            conf = gaussian_smooth(conf, self.k_size, self.c_sigma)
+
+        if train:
+            if rng is None:
+                rng = self.make_rng("comm")
+            u = jax.random.uniform(rng, (b,))  # kept fraction per sample
+            k = jnp.floor(u * (h * w)).astype(jnp.int32)  # (B,)
+            flat = conf.reshape(b, l, h * w)
+            # pixel kept iff its rank among this agent's confidences < k:
+            # rank via double argsort (descending).
+            order = jnp.argsort(-flat, axis=-1)
+            ranks = jnp.argsort(order, axis=-1)
+            comm_mask = (ranks < k[:, None, None]).astype(conf.dtype)
+            comm_mask = comm_mask.reshape(b, l, h, w)
+        else:
+            comm_mask = (conf > self.threshold).astype(conf.dtype)
+
+        # ego always communicates with itself
+        comm_mask = comm_mask.at[:, 0].set(1.0)
+
+        am = agent_mask[:, :, None, None].astype(conf.dtype)
+        rate = jnp.sum(comm_mask * am) / jnp.maximum(jnp.sum(am) * h * w, 1.0)
+        return comm_mask, rate
+
+
+class Where2commFusion(nn.Module):
+    """Multi-scale (or single-scale) confidence-gated attention fusion.
+
+    Call with the shared backbone module so stage weights are reused, exactly
+    like the reference passes ``self.backbone`` into the fusion net.
+    """
+
+    multi_scale: bool = True
+    fully: bool = False
+    threshold: float = 0.01
+    smooth: bool = True
+    k_size: int = 5
+    c_sigma: float = 1.0
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.communication = Communication(
+            threshold=self.threshold,
+            smooth=self.smooth,
+            k_size=self.k_size,
+            c_sigma=self.c_sigma,
+        )
+
+    def __call__(self, x, psm, agent_mask, backbone=None, *, train: bool = False):
+        """x: (B, L, H, W, C) raw BEV features (multi_scale) or 2d features;
+        psm: (B, L, H', W', AC) single-agent confidence logits.
+
+        Returns (fused (B, Hf, Wf, Cf), comm_rate).
+        """
+        b, l = x.shape[:2]
+
+        if self.fully:
+            comm_mask, rate = jnp.ones(x.shape[:4], x.dtype), jnp.asarray(1.0)
+        else:
+            comm_mask, rate = self.communication(
+                psm, agent_mask, train=train
+            )
+
+        if self.multi_scale:
+            assert backbone is not None
+            ups = []
+            cur = x.reshape((b * l,) + x.shape[2:])
+            for i in range(len(backbone.stages)):
+                cur = backbone.stage(i, cur, train)
+                if i == 0:
+                    m = comm_mask
+                    if m.shape[-2:] != cur.shape[1:3]:
+                        m = jax.image.resize(
+                            m, m.shape[:2] + cur.shape[1:3], method="bilinear"
+                        )
+                    cur = cur * m.reshape((b * l,) + cur.shape[1:3] + (1,))
+                grouped = cur.reshape((b, l) + cur.shape[1:])
+                fused = ego_agent_attention(grouped, agent_mask)
+                ups.append(backbone.deblock(i, fused, train))
+            fused = backbone.finish(ups, train)
+        else:
+            m = comm_mask
+            if m.shape[-2:] != x.shape[2:4]:
+                m = jax.image.resize(m, m.shape[:2] + x.shape[2:4], "bilinear")
+            gated = x * m[..., None]
+            fused = ego_agent_attention(gated, agent_mask)
+
+        return fused, rate

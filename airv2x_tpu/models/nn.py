@@ -1,0 +1,174 @@
+"""Shared neural building blocks (flax, NHWC).
+
+Conventions:
+  * all spatial tensors are channel-last (B, H, W, C) — the native TPU conv
+    layout (the torch reference is NCHW);
+  * BatchNorm uses the reference's torch hyperparameters (eps=1e-3,
+    torch-momentum 0.01 == flax momentum 0.99) so converted checkpoints
+    behave identically at inference;
+  * compute dtype configurable (bf16 compute / f32 params by default).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Dtype = Any
+
+BN_EPS = 1e-3
+BN_MOMENTUM = 0.99  # flax: ema = m * ema + (1 - m) * batch
+
+
+class ConvBNReLU(nn.Module):
+    """3x3-style Conv -> BatchNorm -> ReLU block of the BEV backbones."""
+
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(
+            self.features,
+            (self.kernel, self.kernel),
+            strides=(self.stride, self.stride),
+            padding=[(1, 1), (1, 1)] if self.kernel == 3 else "SAME",
+            use_bias=False,
+            dtype=self.dtype,
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=BN_MOMENTUM,
+            epsilon=BN_EPS,
+            dtype=self.dtype,
+        )(x)
+        return nn.relu(x)
+
+
+class DeconvBNReLU(nn.Module):
+    """Transposed-conv upsampling block (backbone deblocks)."""
+
+    features: int
+    stride: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        if self.stride >= 1:
+            x = nn.ConvTranspose(
+                self.features,
+                (self.stride, self.stride),
+                strides=(self.stride, self.stride),
+                use_bias=False,
+                dtype=self.dtype,
+            )(x)
+        else:
+            s = int(round(1 / self.stride))
+            x = nn.Conv(
+                self.features,
+                (s, s),
+                strides=(s, s),
+                use_bias=False,
+                dtype=self.dtype,
+            )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=BN_MOMENTUM,
+            epsilon=BN_EPS,
+            dtype=self.dtype,
+        )(x)
+        return nn.relu(x)
+
+
+class DownsampleConv(nn.Module):
+    """Shrink head: stacked 1x1 (or kxk) conv+bn+relu
+    (reference common_modules/downsample_conv.py)."""
+
+    dims: Sequence[int]
+    kernels: Sequence[int]
+    strides: Sequence[int]
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        for d, k, s in zip(self.dims, self.kernels, self.strides):
+            x = ConvBNReLU(d, kernel=k, stride=s, dtype=self.dtype)(x, train)
+        return x
+
+
+class NaiveCompressor(nn.Module):
+    """1x1-conv bottleneck feature compressor
+    (reference common_modules/naive_compress.py)."""
+
+    channels: int
+    compression_rate: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = self.channels
+        hidden = max(c // max(self.compression_rate, 1), 1)
+        x = nn.Conv(hidden, (3, 3), padding="SAME", dtype=self.dtype)(x)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=BN_MOMENTUM,
+            epsilon=BN_EPS,
+            dtype=self.dtype,
+        )(x)
+        x = nn.relu(x)
+        x = nn.Conv(c, (3, 3), padding="SAME", dtype=self.dtype)(x)
+        x = nn.BatchNorm(
+            use_running_average=not train,
+            momentum=BN_MOMENTUM,
+            epsilon=BN_EPS,
+            dtype=self.dtype,
+        )(x)
+        return nn.relu(x)
+
+
+class MaskedBatchNorm(nn.Module):
+    """BatchNorm over the valid rows of a padded point set.
+
+    The reference's PFN BatchNorm1d sees only real voxel rows (ragged M);
+    our fixed-capacity layout would otherwise pollute batch statistics with
+    padding, so statistics are computed under the mask. At inference
+    (running stats) this is identical to the reference.
+    """
+
+    momentum: float = BN_MOMENTUM
+    epsilon: float = BN_EPS
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask, train: bool = False):
+        # x: (..., C); mask: (...) boolean over row dims.
+        c = x.shape[-1]
+        ra_mean = self.variable("batch_stats", "mean", lambda: jnp.zeros((c,)))
+        ra_var = self.variable("batch_stats", "var", lambda: jnp.ones((c,)))
+        scale = self.param("scale", nn.initializers.ones, (c,))
+        bias = self.param("bias", nn.initializers.zeros, (c,))
+
+        if train:
+            m = mask[..., None].astype(jnp.float32)
+            cnt = jnp.maximum(jnp.sum(m), 1.0)
+            xf = x.astype(jnp.float32)
+            mean = jnp.sum(xf * m, axis=tuple(range(x.ndim - 1))) / cnt
+            var = (
+                jnp.sum((xf - mean) ** 2 * m, axis=tuple(range(x.ndim - 1))) / cnt
+            )
+            if not self.is_initializing():
+                ra_mean.value = self.momentum * ra_mean.value + (
+                    1 - self.momentum
+                ) * mean
+                ra_var.value = self.momentum * ra_var.value + (1 - self.momentum) * var
+        else:
+            mean, var = ra_mean.value, ra_var.value
+
+        inv = jax.lax.rsqrt(var + self.epsilon).astype(x.dtype)
+        y = (x - mean.astype(x.dtype)) * inv
+        return y * scale.astype(x.dtype) + bias.astype(x.dtype)

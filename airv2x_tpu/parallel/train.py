@@ -1,0 +1,128 @@
+"""Training step factory: optimizer/scheduler from hypes + pjit train step.
+
+Replaces the reference's torch loop plumbing (tools/train.py:191-292,
+train_utils.py:371-456 optimizer/scheduler factories): the whole
+forward/loss/backward/update is ONE jitted SPMD program over the mesh; the
+DDP gradient allreduce becomes an XLA psum inserted automatically by jit
+when the batch is sharded and the params are replicated.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+
+def make_lr_schedule(hypes: dict, steps_per_epoch: int):
+    """Epoch-indexed schedulers of the reference (train_utils.py:429-456)."""
+    opt_cfg = hypes["optimizer"]
+    sched_cfg = hypes.get("lr_scheduler", {})
+    base_lr = float(opt_cfg["lr"])
+    method = sched_cfg.get("core_method", "constant")
+    if method == "multistep":
+        gamma = float(sched_cfg["gamma"])
+        bounds = {
+            int(e) * steps_per_epoch: gamma for e in sched_cfg["step_size"]
+        }
+        return optax.piecewise_constant_schedule(base_lr, bounds)
+    if method == "step":
+        gamma = float(sched_cfg["gamma"])
+        every = int(sched_cfg["step_size"]) * steps_per_epoch
+        return lambda step: base_lr * gamma ** (step // every)
+    if method in ("exponential", "Exponential"):
+        gamma = float(sched_cfg.get("gamma", 0.98))
+        return lambda step: base_lr * gamma ** (step / steps_per_epoch)
+    return lambda step: base_lr
+
+
+def make_optimizer(hypes: dict, steps_per_epoch: int = 1):
+    opt_cfg = hypes["optimizer"]
+    sched = make_lr_schedule(hypes, steps_per_epoch)
+    args = opt_cfg.get("args", {})
+    wd = float(args.get("weight_decay", 0.0))
+    eps = float(args.get("eps", 1e-8))
+    method = opt_cfg.get("core_method", "Adam").lower()
+    if method == "adam" and wd > 0:
+        return optax.adamw(sched, eps=eps, weight_decay=wd), sched
+    if method == "adam":
+        return optax.adam(sched, eps=eps), sched
+    if method == "sgd":
+        return optax.sgd(sched, momentum=float(args.get("momentum", 0.9))), sched
+    raise ValueError(f"unknown optimizer {opt_cfg['core_method']}")
+
+
+def create_train_state(model, variables, tx) -> TrainState:
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=variables["params"],
+        batch_stats=variables.get("batch_stats", {}),
+        opt_state=tx.init(variables["params"]),
+    )
+
+
+def make_train_step(
+    model,
+    loss_fn: Callable,
+    tx,
+    mesh=None,
+    donate: bool = True,
+):
+    """Build the jitted train step. With a mesh, state is replicated and the
+    batch is expected sharded along 'data'; XLA inserts the gradient psum."""
+
+    def step_fn(state: TrainState, batch, rng):
+        rng = jax.random.fold_in(rng, state.step)
+
+        def compute(params):
+            out, updates = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                batch,
+                train=True,
+                rngs={"comm": rng},
+                mutable=["batch_stats"],
+            )
+            total, parts = loss_fn(out, batch["labels"])
+            return total, (parts, updates["batch_stats"])
+
+        (loss, (parts, new_stats)), grads = jax.value_and_grad(
+            compute, has_aux=True
+        )(state.params)
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt,
+        )
+        return new_state, parts
+
+    # jit propagates shardings from the operands: state replicated, batch
+    # sharded along 'data' (see parallel.mesh.shard_batch). The gradient
+    # reduction across data shards compiles to an ICI psum.
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(model, loss_fn):
+    def eval_fn(state: TrainState, batch):
+        out = model.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            batch,
+            train=False,
+        )
+        total, parts = loss_fn(out, batch["labels"])
+        return out, total, parts
+
+    return jax.jit(eval_fn)
