@@ -1,0 +1,313 @@
+"""AirV2X on-disk dataset -> fixed-shape TPU batches (host pipeline).
+
+Behavioural twin of the reference data layer for LiDAR intermediate fusion
+(data_utils/datasets/airv2x/basedataset.py + intermediate_fusion_dataset.py),
+re-designed for a functional, shape-static pipeline:
+
+  * directory walk ``root/<scenario>/timestamp_*/agent_*/``
+    (utils/airv2x_utils.parse_seq :207-264) with metadata.pkl / objects.pkl
+    pickles and lidar .pcd files;
+  * ego selection (first vehicle; optionally a seeded random vehicle per
+    epoch — the reference's ``shuffle_ego`` mutates shared state from worker
+    processes, basedataset.py:246,534-549; here the choice is a pure
+    function of (sample, epoch, seed));
+  * per-type communication-range gating (VEH/RSU 120 m, DRONE 180 m,
+    data_utils/datasets/__init__.py:88-91) and top-k nearest selection per
+    type (intermediate_fusion_dataset.py:263);
+  * wild settings: async latency (time-delayed CAV frames) and gaussian
+    pose noise (basedataset.py:82-124, 699-758);
+  * per-agent clouds projected into the (current) ego frame when
+    ``proj_first``, range-masked, padded to the static slot layout of
+    models.base.SlotLayout — voxelization happens ON DEVICE
+    (ops.voxelize), not here;
+  * objects deduped by id across agents, converted to ego-frame hwl boxes
+    (box_utils.project_world_objects_airv2x :576-650), padded to max_num.
+"""
+
+from __future__ import annotations
+
+import os
+import pickle
+from dataclasses import dataclass
+
+import numpy as np
+
+from airv2x_tpu.models.base import AGENT_TYPES, SlotLayout
+from airv2x_tpu.utils import transforms as tf
+
+COM_RANGE = {"vehicle": 120.0, "rsu": 120.0, "drone": 180.0}
+VALID_CLASSES = (1, 2, 3, 4, 5, 6)
+
+
+def _load_pickle(path):
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
+def abs_world_pose(rel_pose, center_pose):
+    """Sensor pose relative to its carrier -> world pose (elementwise sum,
+    transformation_utils.get_abs_world_pose :526-540)."""
+    return [a + b for a, b in zip(rel_pose[:6], center_pose[:6])]
+
+
+def _corners_from_extent(extent):
+    ex, ey, ez = extent[:3]
+    signs = np.array(
+        [
+            [1, -1, -1], [1, 1, -1], [-1, 1, -1], [-1, -1, -1],
+            [1, -1, 1], [1, 1, 1], [-1, 1, 1], [-1, -1, 1],
+        ],
+        dtype=np.float64,
+    )
+    return signs * np.array([ex, ey, ez])
+
+
+def _corner_to_center_hwl(corners):
+    """(8, 3) corners -> 7-dof hwl box (numpy twin of ops.geometry)."""
+    import jax.numpy as jnp
+
+    from airv2x_tpu.ops.geometry import corner_to_center
+
+    return np.asarray(corner_to_center(jnp.asarray(corners)[None], order="hwl"))[0]
+
+
+def object_to_ego_box(obj: dict, ego_lidar_pose, lidar_range, order="hwl"):
+    """World object metadata -> 7-dof box in ego-lidar frame, or None if
+    outside range (box_utils.project_world_objects_airv2x)."""
+    loc = obj["location"]
+    center = obj.get("center", [0, 0, 0])
+    extent = obj["extent"]
+    object_pose = [
+        loc[0] + center[0], loc[1] + center[1], loc[2] + center[2],
+        loc[3], loc[4], loc[5],
+    ]
+    obj2lidar = tf.pose_a_to_b(object_pose, ego_lidar_pose)
+    corners = _corners_from_extent(extent)
+    corners = corners @ obj2lidar[:3, :3].T + obj2lidar[:3, 3]
+    box = _corner_to_center_hwl(corners)
+    x, y = box[0], box[1]
+    if not (lidar_range[0] < x < lidar_range[3] and lidar_range[1] < y < lidar_range[4]):
+        return None
+    return box
+
+
+@dataclass
+class WildSettings:
+    """Async latency + localization-error simulation (basedataset wild_setting)."""
+
+    async_mode: bool = False
+    async_overhead_ms: float = 100.0
+    data_rate_hz: float = 10.0
+    loc_error: bool = False
+    xyz_std: float = 0.2
+    ryp_std: float = 0.2
+
+
+class AirV2XDataset:
+    """Index the on-disk dataset and produce fixed-shape samples."""
+
+    def __init__(
+        self,
+        hypes: dict,
+        split_dir: str,
+        train: bool = True,
+        wild: WildSettings | None = None,
+        seed: int = 0,
+    ):
+        self.hypes = hypes
+        self.train = train
+        self.wild = wild or WildSettings()
+        self.seed = seed
+        self.layout = SlotLayout.from_args(hypes["model"]["args"])
+        self.lidar_range = hypes["preprocess"]["cav_lidar_range"]
+        self.max_points = int(hypes["preprocess"].get("max_points", 60000))
+        self.max_num = int(hypes["postprocess"]["max_num"])
+        self.proj_first = bool(
+            hypes.get("fusion", {}).get("args", {}).get("proj_first", True)
+        )
+
+        self.samples = []  # (scenario_path, [sorted timestamp dirs], t_index)
+        if os.path.isdir(split_dir):
+            for scen in sorted(os.listdir(split_dir)):
+                spath = os.path.join(split_dir, scen)
+                if not os.path.isdir(spath):
+                    continue
+                stamps = sorted(
+                    d
+                    for d in os.listdir(spath)
+                    if d.startswith("timestamp_")
+                    and os.path.isdir(os.path.join(spath, d))
+                )
+                for i in range(len(stamps)):
+                    self.samples.append((spath, stamps, i))
+
+    def __len__(self):
+        return len(self.samples)
+
+    # ---------- per-timestamp agent parsing ----------
+
+    def _agents_at(self, spath, stamp):
+        tdir = os.path.join(spath, stamp)
+        agents = {}
+        for d in sorted(os.listdir(tdir)):
+            apath = os.path.join(tdir, d)
+            if not os.path.isdir(apath) or not d.startswith("agent_"):
+                continue
+            meta_path = os.path.join(apath, "metadata.pkl")
+            if not os.path.isfile(meta_path):
+                continue
+            meta = _load_pickle(meta_path)
+            lidars = sorted(
+                os.path.join(apath, f)
+                for f in os.listdir(apath)
+                if f.endswith(".pcd") and "lidar" in f and "semantic" not in f
+            )
+            agents[int(d.split("_")[1])] = {
+                "path": apath,
+                "meta": meta,
+                "type": meta["agent_type"],
+                "lidar": lidars[0] if lidars else None,
+            }
+        objs_path = os.path.join(tdir, "objects.pkl")
+        objects = _load_pickle(objs_path) if os.path.isfile(objs_path) else {}
+        objects = {
+            k: v for k, v in objects.items() if v.get("class") in VALID_CLASSES
+        }
+        return agents, objects
+
+    @staticmethod
+    def _lidar_world_pose(meta):
+        return abs_world_pose(
+            meta["lidar"]["lidar_pose"], meta["odometry"]["ego_pos"]
+        )
+
+    def _delay_stamp(self, stamps, idx):
+        """Index of the delayed frame for non-ego agents (async mode)."""
+        if not self.wild.async_mode:
+            return idx
+        frames = int(
+            round(self.wild.async_overhead_ms / 1000.0 * self.wild.data_rate_hz)
+        )
+        return max(idx - frames, 0)
+
+    # ---------- sample assembly ----------
+
+    def __getitem__(self, idx: int, epoch: int = 0):
+        spath, stamps, t = self.samples[idx]
+        agents, objects = self._agents_at(spath, stamps[t])
+        rng = np.random.default_rng((self.seed, epoch, idx))
+
+        vehicles = [k for k, a in agents.items() if a["type"] == "vehicle"]
+        if not vehicles:
+            raise ValueError(f"no vehicle agent in {spath}/{stamps[t]}")
+        ego_id = (
+            int(rng.choice(vehicles)) if self.train and len(vehicles) > 1
+            else vehicles[0]
+        )
+        ego = agents[ego_id]
+        ego_pose = self._lidar_world_pose(ego["meta"])
+
+        # delayed frame for non-ego agents
+        td = self._delay_stamp(stamps, t)
+        agents_delay, _ = (
+            self._agents_at(spath, stamps[td]) if td != t else (agents, None)
+        )
+
+        # distance + comm-range gating, top-k nearest per type
+        chosen = {tname: [] for tname in AGENT_TYPES}
+        for aid, a in agents.items():
+            src = agents_delay.get(aid, a) if aid != ego_id else a
+            pose = self._lidar_world_pose(src["meta"])
+            d = float(np.hypot(pose[0] - ego_pose[0], pose[1] - ego_pose[1]))
+            if aid != ego_id and d > COM_RANGE[a["type"]]:
+                continue
+            chosen[a["type"]].append((0.0 if aid == ego_id else d, aid, src))
+        for tname in AGENT_TYPES:
+            chosen[tname].sort(key=lambda x: x[0])
+            cap = self.layout.counts[AGENT_TYPES.index(tname)]
+            chosen[tname] = chosen[tname][:cap]
+
+        L = self.layout.total
+        n = self.max_points
+        points = np.zeros((L, n, 4), np.float32)
+        points_mask = np.zeros((L, n), bool)
+        agent_mask = np.zeros((L,), bool)
+        prior = np.zeros((L, 3), np.float32)
+        pairwise = np.tile(np.eye(4, dtype=np.float32), (L, 1, 1))
+        pairwise_full = np.tile(np.eye(4, dtype=np.float32), (L, L, 1, 1))
+
+        from airv2x_tpu.data.pcd import read_pcd
+
+        for tname in AGENT_TYPES:
+            sl = self.layout.slots(tname)
+            for j, (dist, aid, a) in enumerate(chosen[tname]):
+                slot = sl.start + j
+                agent_mask[slot] = True
+                pose = self._lidar_world_pose(a["meta"])
+                if self.wild.loc_error and aid != ego_id:
+                    pose = tf.add_pose_noise(
+                        pose, rng, self.wild.xyz_std, self.wild.ryp_std
+                    )
+                t_cav_ego = tf.pose_a_to_b(pose, ego_pose)
+                pairwise[slot] = t_cav_ego.astype(np.float32)
+                prior[slot, 1] = float(t - self._delay_stamp(stamps, t))
+                prior[slot, 2] = float(tname == "rsu")
+
+                if a["lidar"] is None:
+                    continue
+                pts = read_pcd(a["lidar"])
+                # drop points on the sensor's own carrier (mask_ego_points)
+                close = (np.abs(pts[:, 0]) < 2.0) & (np.abs(pts[:, 1]) < 2.0)
+                pts = pts[~close]
+                if self.proj_first:
+                    pts = tf.transform_points(pts, t_cav_ego).astype(np.float32)
+                lr = self.lidar_range
+                keep = (
+                    (pts[:, 0] > lr[0]) & (pts[:, 0] < lr[3])
+                    & (pts[:, 1] > lr[1]) & (pts[:, 1] < lr[4])
+                    & (pts[:, 2] > lr[2]) & (pts[:, 2] < lr[5])
+                )
+                pts = pts[keep]
+                if len(pts) > n:
+                    pts = pts[rng.permutation(len(pts))[:n]]
+                points[slot, : len(pts)] = pts
+                points_mask[slot, : len(pts)] = True
+
+        if self.proj_first:
+            pairwise_batch = np.tile(np.eye(4, dtype=np.float32), (L, 1, 1))
+        else:
+            pairwise_batch = pairwise
+        for i in range(L):
+            for j in range(L):
+                pairwise_full[i, j] = (
+                    np.linalg.solve(pairwise[i], pairwise[j])
+                    if not self.proj_first
+                    else np.eye(4)
+                )
+
+        # gt objects (dedup by id is inherent: objects.pkl is global)
+        boxes = np.zeros((self.max_num, 7), np.float32)
+        classes = np.zeros((self.max_num,), np.int32)
+        mask = np.zeros((self.max_num,), bool)
+        i = 0
+        for oid, obj in objects.items():
+            if i >= self.max_num:
+                break
+            box = object_to_ego_box(obj, ego_pose, self.lidar_range)
+            if box is None:
+                continue
+            boxes[i] = box
+            classes[i] = int(obj["class"])
+            mask[i] = True
+            i += 1
+
+        batch = {
+            "points": points,
+            "points_mask": points_mask,
+            "agent_mask": agent_mask,
+            "pairwise_t": pairwise_batch,
+            "pairwise_t_full": pairwise_full,
+            "prior_encoding": prior,
+        }
+        gt = {"boxes": boxes, "mask": mask, "classes": classes}
+        return batch, gt

@@ -118,12 +118,16 @@ def make_scene(
         points_mask[slot, :m] = True
 
     pairwise_t = np.broadcast_to(np.eye(4, dtype=np.float32), (L, 4, 4)).copy()
+    pairwise_t_full = np.broadcast_to(
+        np.eye(4, dtype=np.float32), (L, L, 4, 4)
+    ).copy()
 
     batch = {
         "points": points,
         "points_mask": points_mask,
         "agent_mask": agent_mask,
         "pairwise_t": pairwise_t,
+        "pairwise_t_full": pairwise_t_full,
         "prior_encoding": prior,
     }
     gt = {"boxes": boxes, "mask": box_mask, "classes": classes}

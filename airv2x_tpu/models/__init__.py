@@ -10,5 +10,7 @@ from airv2x_tpu.models.registry import MODEL_REGISTRY, build_model, register_mod
 # Import model modules for registration side effects.
 from airv2x_tpu.models import where2comm_model  # noqa: F401
 from airv2x_tpu.models import intermediate_models  # noqa: F401
+from airv2x_tpu.models import v2xvit_model  # noqa: F401
+from airv2x_tpu.models import heal_model  # noqa: F401
 
 __all__ = ["MODEL_REGISTRY", "build_model", "register_model"]

@@ -1,9 +1,15 @@
-"""Baseline intermediate-fusion models (single-shot fusion of BEV features).
+"""Intermediate-fusion models sharing the encode->backbone->fuse->head spine.
 
-TPU twins of the reference's fusion_in_one family
-(models/fuse_modules/fusion_in_one.py: MaxFusion :90, AttFusion :130) applied
-on the AirV2X heterogeneous encoder — the simplest end-to-end collaborative
-detectors, used as the minimum slice and as ablation baselines.
+The reference repeats this spine in every ``airv2x_*`` / ``point_pillar_*``
+model file (hetero encode -> BaseBEVBackbone -> shrink -> fuse on the 2d
+feature map -> 1x1 heads); here it lives once in ``PostBackboneFusionModel``
+and each collaboration method supplies only its fusion module:
+
+  * airv2x_attfusion / airv2x_maxfusion — single-shot attention / max
+    (fusion_in_one.py AttFusion :130 / MaxFusion :90 baselines)
+  * airv2x_cobevt — fused-axial swap attention (airv2x_cobevt.py)
+  * airv2x_v2vnet — iterative ConvGRU message passing (airv2x_v2vnet.py)
+  * airv2x_when2com — learned handshake selection (airv2x_when2com.py)
 """
 
 from __future__ import annotations
@@ -15,20 +21,20 @@ import jax.numpy as jnp
 
 from airv2x_tpu.models.base import HeteroLidarEncoder, SlotLayout
 from airv2x_tpu.models.bev_backbone import BaseBEVBackbone
+from airv2x_tpu.models.fusion.cobevt import SwapFusionEncoder
 from airv2x_tpu.models.fusion.common import ego_agent_attention, max_fusion
+from airv2x_tpu.models.fusion.v2vnet import V2VNetFusion
+from airv2x_tpu.models.fusion.when2com import When2comFusion
 from airv2x_tpu.models.heads import BevSegHead, DetectionHeads
-from airv2x_tpu.models.nn import DownsampleConv
+from airv2x_tpu.models.nn import DownsampleConv, NaiveCompressor
 from airv2x_tpu.models.registry import register_model
 
 
-class _IntermediateBase(nn.Module):
-    """Encode -> fuse (B, L, ...) -> backbone -> heads."""
+class PostBackboneFusionModel(nn.Module):
+    """Shared spine; subclasses override ``setup_fusion`` and ``fuse``."""
 
     args: dict
     dtype: Any = jnp.float32
-
-    def _fuse(self, x, agent_mask):
-        raise NotImplementedError
 
     def setup(self):
         args = self.args
@@ -61,6 +67,12 @@ class _IntermediateBase(nn.Module):
                 strides=shrink["stride"],
                 dtype=self.dtype,
             )
+        self.compression = int(mod.get("compression", 0)) > 0
+        if self.compression:
+            self.compressor = NaiveCompressor(
+                256, mod["compression"], dtype=self.dtype
+            )
+
         self.task = args["task"]
         if self.task == "det":
             self.heads = DetectionHeads(
@@ -79,32 +91,101 @@ class _IntermediateBase(nn.Module):
                 cav_range=args["cav_range"],
                 dtype=self.dtype,
             )
+        self.setup_fusion()
+
+    def setup_fusion(self):
+        raise NotImplementedError
+
+    def fuse(self, grouped, batch, train):
+        """(B, L, H, W, C) -> ((B, H, W, C), comm_rate)."""
+        raise NotImplementedError
 
     def __call__(self, batch, train: bool = False):
         x = self.encoder(batch, train)  # (B, L, ny, nx, C)
-        fused = self._fuse(x, batch["agent_mask"])  # (B, ny, nx, C)
-        feats, _ = self.backbone(fused, train)
+        b, l = x.shape[:2]
+        flat = x.reshape((b * l,) + x.shape[2:])
+
+        feats, _ = self.backbone(flat, train)
         if self.shrink_flag:
             feats = self.shrink_conv(feats, train)
+        if self.compression:
+            feats = self.compressor(feats, train)
+
+        grouped = feats.reshape((b, l) + feats.shape[1:])
+        fused, rate = self.fuse(grouped, batch, train)
+
         if self.task == "det":
-            out = dict(self.heads(feats))
+            out = dict(self.heads(fused))
         else:
-            out = dict(self.seg_head(feats))
-        out["comm_rate"] = jnp.asarray(1.0)
+            out = dict(self.seg_head(fused))
+        out["comm_rate"] = rate
         return out
 
 
 @register_model("airv2x_attfusion", "airv2x_intermediate")
-class Airv2xAttFusion(_IntermediateBase):
+class Airv2xAttFusion(PostBackboneFusionModel):
     """Per-pixel ego-query attention fusion (AttFusion twin)."""
 
-    def _fuse(self, x, agent_mask):
-        return ego_agent_attention(x, agent_mask)
+    def setup_fusion(self):
+        pass
+
+    def fuse(self, grouped, batch, train):
+        return ego_agent_attention(grouped, batch["agent_mask"]), jnp.asarray(1.0)
 
 
 @register_model("airv2x_maxfusion")
-class Airv2xMaxFusion(_IntermediateBase):
+class Airv2xMaxFusion(PostBackboneFusionModel):
     """Masked elementwise-max fusion (MaxFusion twin)."""
 
-    def _fuse(self, x, agent_mask):
-        return max_fusion(x, agent_mask)
+    def setup_fusion(self):
+        pass
+
+    def fuse(self, grouped, batch, train):
+        return max_fusion(grouped, batch["agent_mask"]), jnp.asarray(1.0)
+
+
+@register_model("airv2x_cobevt")
+class Airv2xCoBEVT(PostBackboneFusionModel):
+    """Fused-axial swap attention (twin of airv2x_cobevt.py; agent_size is
+    injected from max_cav_num as in its __init__ :50)."""
+
+    def setup_fusion(self):
+        fax = dict(self.args["fax_fusion"])
+        fax["agent_size"] = self.layout.total
+        self.fusion_net = SwapFusionEncoder(args=fax, dtype=self.dtype)
+
+    def fuse(self, grouped, batch, train):
+        return (
+            self.fusion_net(grouped, batch["agent_mask"], train),
+            jnp.asarray(1.0),
+        )
+
+
+@register_model("airv2x_v2vnet")
+class Airv2xV2VNet(PostBackboneFusionModel):
+    def setup_fusion(self):
+        self.fusion_net = V2VNetFusion(args=self.args["v2vfusion"], dtype=self.dtype)
+
+    def fuse(self, grouped, batch, train):
+        return (
+            self.fusion_net(
+                grouped, batch["agent_mask"], batch["pairwise_t_full"], train
+            ),
+            jnp.asarray(1.0),
+        )
+
+
+@register_model("airv2x_when2com")
+class Airv2xWhen2com(PostBackboneFusionModel):
+    def setup_fusion(self):
+        self.fusion_net = When2comFusion(
+            args=self.args["when2com_fusion"], dtype=self.dtype
+        )
+
+    def fuse(self, grouped, batch, train):
+        return (
+            self.fusion_net(
+                grouped, batch["agent_mask"], batch["pairwise_t_full"], train
+            ),
+            jnp.asarray(1.0),
+        )

@@ -1,0 +1,112 @@
+"""Airv2x V2X-ViT model (TPU twin of models/airv2x_v2xvit.py).
+
+Pipeline (reference forward :108-166): hetero encode -> backbone -> shrink
+-> dense regroup (our agent axis is already dense) -> prior-encoding concat
+-> V2XTransformer (RTE + STTF + HGT/window attention stack) -> heads.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from airv2x_tpu.models.base import HeteroLidarEncoder, SlotLayout
+from airv2x_tpu.models.bev_backbone import BaseBEVBackbone
+from airv2x_tpu.models.fusion.v2xvit import V2XTransformer
+from airv2x_tpu.models.heads import BevSegHead, DetectionHeads
+from airv2x_tpu.models.nn import DownsampleConv, NaiveCompressor
+from airv2x_tpu.models.registry import register_model
+
+
+@register_model("airv2x_v2xvit")
+class Airv2xV2XViT(nn.Module):
+    args: dict
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        args = self.args
+        self.layout = SlotLayout.from_args(args)
+        pre = args["preprocess"]
+        self.encoder = HeteroLidarEncoder(
+            args=args,
+            preprocess=pre,
+            layout=self.layout,
+            max_pillars=int(pre["args"].get("max_voxel_train", 16000)),
+            max_points_per_pillar=int(pre["args"].get("max_points_per_voxel", 32)),
+            dtype=self.dtype,
+        )
+        mod = args["modality_fusion"]
+        bb = mod["base_bev_backbone"]
+        self.backbone = BaseBEVBackbone(
+            layer_nums=bb["layer_nums"],
+            layer_strides=bb["layer_strides"],
+            num_filters=bb["num_filters"],
+            upsample_strides=bb["upsample_strides"],
+            num_upsample_filters=bb["num_upsample_filter"],
+            dtype=self.dtype,
+        )
+        shrink = mod.get("shrink_header", {})
+        self.shrink_flag = bool(shrink.get("use"))
+        if self.shrink_flag:
+            self.shrink_conv = DownsampleConv(
+                dims=shrink["dim"],
+                kernels=shrink["kernal_size"],
+                strides=shrink["stride"],
+                dtype=self.dtype,
+            )
+        self.compression = int(mod.get("compression", 0)) > 0
+        if self.compression:
+            self.compressor = NaiveCompressor(
+                256, mod["compression"], dtype=self.dtype
+            )
+
+        self.fusion_net = V2XTransformer(args["transformer"], dtype=self.dtype)
+
+        self.task = args["task"]
+        if self.task == "det":
+            self.heads = DetectionHeads(
+                anchor_number=args["anchor_number"],
+                num_class=args["num_class"],
+                obj_head=bool(args.get("obj_head", True)),
+                dtype=self.dtype,
+            )
+        else:
+            self.seg_head = BevSegHead(
+                seg_branch=args["seg_branch"],
+                seg_hw=args["seg_hw"],
+                dynamic_class=args["dynamic_class"],
+                static_class=args["static_class"],
+                seg_res=args["seg_res"],
+                cav_range=args["cav_range"],
+                dtype=self.dtype,
+            )
+
+    def __call__(self, batch, train: bool = False):
+        x = self.encoder(batch, train)  # (B, L, ny, nx, C)
+        b, l = x.shape[:2]
+        flat = x.reshape((b * l,) + x.shape[2:])
+
+        feats, _ = self.backbone(flat, train)
+        if self.shrink_flag:
+            feats = self.shrink_conv(feats, train)
+        if self.compression:
+            feats = self.compressor(feats, train)
+
+        grouped = feats.reshape((b, l) + feats.shape[1:])  # (B, L, H, W, C)
+        fused = self.fusion_net(
+            grouped,
+            batch["agent_mask"],
+            batch["pairwise_t"],
+            batch["prior_encoding"],
+            train,
+        )
+
+        out = {}
+        if self.task == "det":
+            out.update(self.heads(fused))
+        else:
+            out.update(self.seg_head(fused))
+        out["comm_rate"] = jnp.asarray(1.0)
+        return out

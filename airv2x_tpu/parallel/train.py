@@ -63,6 +63,47 @@ def make_optimizer(hypes: dict, steps_per_epoch: int = 1):
     raise ValueError(f"unknown optimizer {opt_cfg['core_method']}")
 
 
+def freeze_by_path(tx, params, frozen_prefixes):
+    """Wrap an optax transform so params whose path starts with any of the
+    given top-level module prefixes get zero updates.
+
+    TPU equivalent of the reference's ``backbone_fix`` requires_grad freezing
+    (airv2x_heal.py:71-131: bool -> freeze encoders+backbone+heads, or a
+    list of agent types -> freeze those encoders only).
+    """
+    import flax
+
+    flat = flax.traverse_util.flatten_dict(params)
+    labels = flax.traverse_util.unflatten_dict(
+        {
+            k: (
+                "frozen"
+                if any(
+                    str(part).startswith(p)
+                    for part in k
+                    for p in frozen_prefixes
+                )
+                else "trainable"
+            )
+            for k in flat
+        }
+    )
+    return optax.multi_transform(
+        {"trainable": tx, "frozen": optax.set_to_zero()}, labels
+    )
+
+
+def backbone_fix_prefixes(args) -> list:
+    """Config-driven freeze list (see airv2x_heal.backbone_fix semantics)."""
+    fix = args.get("backbone_fix")
+    if not fix:
+        return []
+    if isinstance(fix, bool):
+        return ["encoder", "backbone", "shrink_conv", "heads", "seg_head"]
+    # list of agent types -> freeze those per-type encoders
+    return [f"{t}_pillar_vfe" for t in fix]
+
+
 def create_train_state(model, variables, tx) -> TrainState:
     return TrainState(
         step=jnp.zeros((), jnp.int32),

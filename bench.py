@@ -1,0 +1,179 @@
+"""End-to-end throughput benchmark: scenes/sec/chip (voxelize->fuse->detect).
+
+Runs the flagship full-scale Where2comm model (704x200 BEV grid, 6 active
+agents, 20k points each) end to end ON DEVICE: pillarization, hetero
+encoding, backbone, confidence-gated fusion, heads, box decode and rotated
+NMS — the pipeline the reference spreads across spconv/C++ dataloader
+workers, the GPU model, and shapely CPU postprocessing.
+
+Methodology (see .claude/skills/verify/SKILL.md): the axon tunnel's
+completion signals are unreliable and host round-trips cost ~4 ms, so the
+benchmark folds K distinct scenes into ONE jitted lax.scan program and
+fetches a scalar; wall time / K is honest device throughput.
+
+Prints one JSON line:
+  {"metric": ..., "value": scenes/sec, "unit": "scenes/s", "vs_baseline": x}
+``vs_baseline`` is the speedup over the same program on the host CPU
+(the reference's voxelize+NMS run on CPU; target >= 10x per BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+N_SCENES = 8
+POINTS_PER_AGENT = 20000
+NUM_AGENTS = {"vehicle": 3, "rsu": 2, "drone": 1}
+
+
+def _enable_compile_cache():
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+
+
+def build_bench(n_scenes: int):
+    import jax
+    import jax.numpy as jnp
+
+    from airv2x_tpu.config import load_yaml
+    from airv2x_tpu.data.postprocess import decode_detections
+    from airv2x_tpu.data.synthetic import make_scene
+    from airv2x_tpu.models import build_model
+    from airv2x_tpu.models.base import SlotLayout
+    from airv2x_tpu.ops.anchors import generate_anchor_grid
+
+    repo = os.path.dirname(os.path.abspath(__file__))
+    hypes = load_yaml(os.path.join(repo, "hypes_yaml/airv2x/lidar/det/where2comm.yaml"))
+    model = build_model(hypes)
+    layout = SlotLayout.from_args(hypes["model"]["args"])
+    anchors = jnp.asarray(generate_anchor_grid(hypes["postprocess"]["anchor_args"]))
+
+    rng = np.random.default_rng(0)
+    scenes = []
+    for _ in range(n_scenes):
+        b, _ = make_scene(
+            rng,
+            layout,
+            num_objects=12,
+            num_agents=NUM_AGENTS,
+            points_per_agent=POINTS_PER_AGENT,
+            lidar_range=hypes["preprocess"]["cav_lidar_range"],
+            pts_per_box=100,
+        )
+        scenes.append(b)
+    # stack scenes on a leading scan axis, each with batch dim 1
+    xs = {
+        k: jnp.asarray(np.stack([s[k] for s in scenes])[:, None])
+        for k in scenes[0]
+    }
+
+    # jitted init: unjitted tracing dispatches thousands of ops through the
+    # device tunnel (~4 ms each) — minutes of pure latency at full scale.
+    variables = jax.jit(
+        lambda rngs, b: model.init(rngs, b, train=False)
+    )({"params": jax.random.PRNGKey(0), "comm": jax.random.PRNGKey(1)},
+      jax.tree.map(lambda x: x[0], xs))
+
+    lidar_range = jnp.asarray(hypes["preprocess"]["cav_lidar_range"], jnp.float32)
+    tgt = hypes["postprocess"]["target_args"]
+    eye = jnp.eye(4)
+
+    @jax.jit
+    def run_all(variables, xs):
+        def body(acc, batch):
+            out = model.apply(variables, batch, train=False)
+            det = decode_detections(
+                out["psm"][0],
+                out["rm"][0],
+                out["obj"][0],
+                anchors,
+                eye,
+                lidar_range,
+                num_class=hypes["num_class"],
+                obj_threshold=tgt["obj_threshold"],
+                nms_thresh=hypes["postprocess"]["nms_thresh"],
+                top_k=1024,
+            )
+            return acc + jnp.sum(det.mask) + jnp.sum(det.scores) * 1e-6, ()
+
+        acc, _ = jax.lax.scan(body, jnp.float32(0), xs)
+        return acc
+
+    return variables, xs, run_all
+
+
+def measure(n_scenes: int, repeats: int = 3) -> float:
+    _enable_compile_cache()
+    t0 = time.perf_counter()
+    variables, xs, run_all = build_bench(n_scenes)
+    print(f"# build+init {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+    t0 = time.perf_counter()
+    float(run_all(variables, xs))
+    print(f"# compile+first-run {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+    best = float("inf")
+    import jax
+
+    for _ in range(repeats):
+        # fresh device buffers: identical input buffers hit a result cache
+        # (measured 14x optimistic on this stack) — see verify skill notes.
+        fresh = jax.tree.map(lambda a: a.copy(), xs)
+        jax.block_until_ready(fresh)
+        t0 = time.perf_counter()
+        float(run_all(variables, fresh))  # scalar fetch forces completion
+        best = min(best, time.perf_counter() - t0)
+    return n_scenes / best
+
+
+def main():
+    if os.environ.get("BENCH_CPU_CHILD"):
+        print(json.dumps({"cpu_scenes_per_sec": measure(2, repeats=1)}))
+        return
+
+    scenes_per_sec = measure(N_SCENES)
+
+    vs = None
+    if not os.environ.get("BENCH_NO_CPU"):
+        env = dict(os.environ)
+        env.update(
+            {
+                "BENCH_CPU_CHILD": "1",
+                "JAX_PLATFORMS": "cpu",
+            }
+        )
+        try:
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env,
+                capture_output=True,
+                text=True,
+                timeout=2400,
+            )
+            cpu = json.loads(out.stdout.strip().splitlines()[-1])[
+                "cpu_scenes_per_sec"
+            ]
+            vs = scenes_per_sec / cpu
+        except Exception:
+            vs = None
+
+    print(
+        json.dumps(
+            {
+                "metric": "scenes/sec/chip e2e (voxelize->fuse->detect)",
+                "value": round(scenes_per_sec, 3),
+                "unit": "scenes/s",
+                "vs_baseline": round(vs, 2) if vs else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

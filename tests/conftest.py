@@ -14,6 +14,13 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 os.environ.setdefault("JAX_ENABLE_X64", "0")
 
+import jax  # noqa: E402
+
+# The axon TPU plugin ignores the JAX_PLATFORMS env var in this image; the
+# config flag is honored. Must run before any backend is instantiated.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 

@@ -1,0 +1,160 @@
+"""Forward-smoke every registered fusion model on tiny shapes."""
+
+import copy
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from airv2x_tpu.config import load_yaml
+from airv2x_tpu.data.synthetic import make_batch
+from airv2x_tpu.models import MODEL_REGISTRY, build_model
+from airv2x_tpu.models.base import SlotLayout
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _tiny_hypes():
+    return load_yaml(os.path.join(REPO, "hypes_yaml/test/tiny_where2comm.yaml"))
+
+
+def _patch(hypes, core_method, extra_args):
+    h = copy.deepcopy(hypes)
+    h["model"]["core_method"] = core_method
+    h["model"]["args"].update(extra_args)
+    return h
+
+
+VARIANTS = {
+    "airv2x_attfusion": {},
+    "airv2x_maxfusion": {},
+    "airv2x_cobevt": {
+        "fax_fusion": {
+            "input_dim": 64,
+            "mlp_dim": 64,
+            "window_size": 4,
+            "dim_head": 16,
+            "drop_out": 0.0,
+            "depth": 1,
+            "mask": True,
+        }
+    },
+    "airv2x_v2vnet": {
+        "v2vfusion": {
+            "voxel_size": [0.4, 0.4, 4],
+            "downsample_rate": 4,
+            "num_iteration": 1,
+            "in_channels": 64,
+            "gru_flag": True,
+            "agg_operator": "avg",
+            "conv_gru": {"H": 48, "W": 48, "kernel_size": [3, 3], "num_layers": 1},
+        }
+    },
+    "airv2x_when2com": {
+        "when2com_fusion": {
+            "voxel_size": [0.4, 0.4, 4],
+            "downsample_rate": 4,
+            "num_iteration": 2,
+            "in_channels": 64,
+            "query_size": 8,
+            "key_size": 32,
+            "mode": "softmax",
+            "H": 48,
+            "W": 48,
+        }
+    },
+    "airv2x_heal": {
+        "in_head": 64,
+        "fusion_backbone": {
+            "resnext": True,
+            "layer_nums": [2, 2],
+            "layer_strides": [1, 2],
+            "num_filters": [32, 64],
+            "upsample_strides": [1, 2],
+            "num_upsample_filter": [32, 32],
+            "inplanes": 16,
+        },
+        "modality_fusion": {
+            "base_bev_backbone": {
+                "layer_nums": [1],
+                "layer_strides": [2],
+                "num_filters": [16],
+            },
+            "shrink_header": {
+                "use": True,
+                "input_dim": 64,
+                "dim": [64],
+                "kernal_size": [3],
+                "stride": [1],
+                "padding": [1],
+            },
+            "compression": 0,
+        },
+    },
+    "airv2x_v2xvit": {
+        "transformer": {
+            "encoder": {
+                "num_blocks": 1,
+                "depth": 1,
+                "use_roi_mask": True,
+                "use_RTE": True,
+                "RTE_ratio": 2,
+                "cav_att_config": {
+                    "dim": 64,
+                    "use_hetero": True,
+                    "use_RTE": True,
+                    "RTE_ratio": 2,
+                    "heads": 4,
+                    "dim_head": 16,
+                    "dropout": 0.0,
+                },
+                "pwindow_att_config": {
+                    "dim": 64,
+                    "heads": [4, 2],
+                    "dim_head": [16, 32],
+                    "dropout": 0.0,
+                    "window_size": [2, 4],
+                    "relative_pos_embedding": True,
+                    "fusion_method": "naive",
+                },
+                "feed_forward": {"mlp_dim": 64, "dropout": 0.0},
+                "sttf": {"voxel_size": [0.4, 0.4, 4], "downsample_rate": 4},
+            }
+        }
+    },
+}
+
+
+@pytest.mark.parametrize("name", sorted(VARIANTS))
+def test_model_forward(name):
+    hypes = _patch(_tiny_hypes(), name, VARIANTS[name])
+    model = build_model(hypes)
+    layout = SlotLayout.from_args(hypes["model"]["args"])
+    rng = np.random.default_rng(1)
+    batch, _ = make_batch(
+        rng,
+        layout,
+        batch_size=1,
+        num_objects=4,
+        points_per_agent=1024,
+        lidar_range=hypes["preprocess"]["cav_lidar_range"],
+        max_boxes=hypes["postprocess"]["max_num"],
+        pts_per_box=40,
+    )
+    batch = jax.tree.map(jnp.asarray, batch)
+    variables = jax.jit(lambda r, b: model.init(r, b, train=False))(
+        {"params": jax.random.PRNGKey(0), "comm": jax.random.PRNGKey(1)}, batch
+    )
+    out = jax.jit(lambda v, b: model.apply(v, b, train=False))(variables, batch)
+    assert out["psm"].shape == (1, 48, 48, 14)
+    assert out["rm"].shape == (1, 48, 48, 14)
+    assert np.isfinite(np.asarray(out["psm"])).all()
+    assert np.isfinite(np.asarray(out["rm"])).all()
+
+
+def test_registry_contents():
+    for name in VARIANTS:
+        assert name in MODEL_REGISTRY
+    assert "airv2x_where2comm" in MODEL_REGISTRY
