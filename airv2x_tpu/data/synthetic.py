@@ -134,6 +134,57 @@ def make_scene(
     return batch, gt
 
 
+def add_camera_inputs(
+    batch: dict,
+    layout: SlotLayout,
+    rng: np.random.Generator,
+    *,
+    img_hw=(64, 96),
+    ncam={"vehicle": 2, "rsu": 2, "drone": 1},
+    with_depth: bool = True,
+):
+    """Attach per-type synthetic camera inputs matching the batch contract.
+
+    imgs (L, Ncam, H, W, 3[+1]) with plausible intrinsics and cam->agent
+    extrinsics; depth channel filled with ~20 m so gt-depth binning works.
+    """
+    L = layout.total
+    h, w = img_hw
+    lead = batch["points"].shape[:-3] if batch["points"].ndim == 4 else ()
+    for t in AGENT_TYPES:
+        cnt = layout.counts[AGENT_TYPES.index(t)]
+        if cnt == 0:
+            continue
+        n = ncam[t]
+        c = 4 if with_depth else 3
+        imgs = rng.uniform(0, 1, (L, n, h, w, c)).astype(np.float32)
+        if with_depth:
+            imgs[..., 3] = rng.uniform(5, 45, (L, n, h, w))
+        intr = np.zeros((L, n, 3, 3), np.float32)
+        intr[..., 0, 0] = w * 0.8
+        intr[..., 1, 1] = w * 0.8
+        intr[..., 0, 2] = w / 2
+        intr[..., 1, 2] = h / 2
+        intr[..., 2, 2] = 1.0
+        rots = np.zeros((L, n, 3, 3), np.float32)
+        # camera looking forward: x_img->-y_agent, y_img->-z_agent, z_img->x_agent
+        rots[..., 0, 2] = 1.0
+        rots[..., 1, 0] = -1.0
+        rots[..., 2, 1] = -1.0
+        trans = rng.uniform(-2, 2, (L, n, 3)).astype(np.float32)
+        post_rots = np.broadcast_to(np.eye(3, dtype=np.float32), (L, n, 3, 3)).copy()
+        post_trans = np.zeros((L, n, 3), np.float32)
+        batch[f"cam_{t}"] = {
+            "imgs": imgs,
+            "intrinsics": intr,
+            "rots": rots,
+            "trans": trans,
+            "post_rots": post_rots,
+            "post_trans": post_trans,
+        }
+    return batch
+
+
 def make_batch(
     rng: np.random.Generator,
     layout: SlotLayout,

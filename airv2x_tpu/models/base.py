@@ -93,22 +93,28 @@ class HeteroLidarEncoder(nn.Module):
 
         pts = batch["points"]  # (B, L, N, 4)
         b, l = pts.shape[:2]
-        flat_pts = pts.reshape((b * l,) + pts.shape[2:])
-        flat_mask = batch["points_mask"].reshape((b * l,) + pts.shape[2:3])
 
-        pil = pillarize_batch(
-            flat_pts,
-            flat_mask,
-            lidar_range=jnp.asarray(lidar_range, jnp.float32),
-            voxel_size=jnp.asarray(voxel_size, jnp.float32),
-            grid_size=grid,
-            max_pillars=self.max_pillars,
-            max_points_per_pillar=self.max_points_per_pillar,
+        any_lidar = any(
+            "lidar" in self.args[t].get("modalities", [])
+            for t in AGENT_TYPES
+            if self.layout.counts[AGENT_TYPES.index(t)]
         )
-        voxels = pil.voxels.reshape((b, l) + pil.voxels.shape[1:])
-        npts = pil.num_points.reshape((b, l) + pil.num_points.shape[1:])
-        coords = pil.coords.reshape((b, l) + pil.coords.shape[1:])
-        pmask = pil.mask.reshape((b, l) + pil.mask.shape[1:])
+        if any_lidar:
+            flat_pts = pts.reshape((b * l,) + pts.shape[2:])
+            flat_mask = batch["points_mask"].reshape((b * l,) + pts.shape[2:3])
+            pil = pillarize_batch(
+                flat_pts,
+                flat_mask,
+                lidar_range=jnp.asarray(lidar_range, jnp.float32),
+                voxel_size=jnp.asarray(voxel_size, jnp.float32),
+                grid_size=grid,
+                max_pillars=self.max_pillars,
+                max_points_per_pillar=self.max_points_per_pillar,
+            )
+            voxels = pil.voxels.reshape((b, l) + pil.voxels.shape[1:])
+            npts = pil.num_points.reshape((b, l) + pil.num_points.shape[1:])
+            coords = pil.coords.reshape((b, l) + pil.coords.shape[1:])
+            pmask = pil.mask.reshape((b, l) + pil.mask.shape[1:])
 
         feats = []
         for t in AGENT_TYPES:
@@ -116,35 +122,63 @@ class HeteroLidarEncoder(nn.Module):
             n_t = sl.stop - sl.start
             if n_t == 0:
                 continue
-            cfg = self.args[t]["lidar"]
-            vfe = PillarVFE(
-                num_filters=cfg["pillar_vfe"]["num_filters"],
-                voxel_size=cfg["voxel_size"],
-                lidar_range=cfg["lidar_range"],
-                use_norm=cfg["pillar_vfe"]["use_norm"],
-                with_distance=cfg["pillar_vfe"]["with_distance"],
-                use_absolute_xyz=cfg["pillar_vfe"]["use_absolute_xyz"],
-                dtype=self.dtype,
-                name=f"{t}_pillar_vfe",
-            )
+            modalities = self.args[t].get("modalities", ["lidar"])
 
-            def slice_flat(a):
+            def slice_flat(a, sl=sl, n_t=n_t):
                 s = a[:, sl]
                 return s.reshape((b * n_t,) + s.shape[2:])
 
-            # PillarVFE is pointwise over pillars, so the (B*n_t) agent axis
-            # rides along as a leading batch dim — no vmap needed.
-            pf = vfe(
-                slice_flat(voxels),
-                slice_flat(npts),
-                slice_flat(coords),
-                slice_flat(pmask),
-                train,
-            )
+            modal_bevs = []
+            if "lidar" in modalities:
+                cfg = self.args[t]["lidar"]
+                vfe = PillarVFE(
+                    num_filters=cfg["pillar_vfe"]["num_filters"],
+                    voxel_size=cfg["voxel_size"],
+                    lidar_range=cfg["lidar_range"],
+                    use_norm=cfg["pillar_vfe"]["use_norm"],
+                    with_distance=cfg["pillar_vfe"]["with_distance"],
+                    use_absolute_xyz=cfg["pillar_vfe"]["use_absolute_xyz"],
+                    dtype=self.dtype,
+                    name=f"{t}_pillar_vfe",
+                )
+                # PillarVFE is pointwise over pillars, so the (B*n_t) agent
+                # axis rides along as a leading batch dim — no vmap needed.
+                pf = vfe(
+                    slice_flat(voxels),
+                    slice_flat(npts),
+                    slice_flat(coords),
+                    slice_flat(pmask),
+                    train,
+                )
+                bev = scatter_pillars_to_bev_batch(
+                    pf, slice_flat(coords), slice_flat(pmask), ny=ny, nx=nx
+                )  # (B*n_t, ny, nx, C)
+                modal_bevs.append(bev)
 
-            bev = scatter_pillars_to_bev_batch(
-                pf, slice_flat(coords), slice_flat(pmask), ny=ny, nx=nx
-            )  # (B*n_t, ny, nx, C)
+            if "cam" in modalities:
+                from airv2x_tpu.models.camera.lss import LSSCameraEncoder
+
+                cam_key = f"cam_{t}"
+                assert cam_key in batch, (
+                    f"config requests cam modality for {t} but batch has no "
+                    f"'{cam_key}' inputs"
+                )
+                cam_inputs = {
+                    k: slice_flat(v) for k, v in batch[cam_key].items()
+                }
+                cam_bev = LSSCameraEncoder(
+                    cfg=self.args[t]["cam"],
+                    dtype=self.dtype,
+                    name=f"{t}_lss",
+                )(cam_inputs, train)
+                modal_bevs.append(cam_bev)
+
+            # mean over modalities (airv2x_base_model.fuse_bev :167-177)
+            bev = (
+                modal_bevs[0]
+                if len(modal_bevs) == 1
+                else jnp.mean(jnp.stack(modal_bevs, 0), axis=0)
+            )
             feats.append(bev.reshape((b, n_t) + bev.shape[1:]))
 
         x = jnp.concatenate(feats, axis=1)  # (B, L, ny, nx, C)

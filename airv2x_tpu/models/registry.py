@@ -20,10 +20,15 @@ def build_model(hypes: dict):
     The model args additionally carry the preprocess/postprocess sections so
     the on-device voxelization + decode pipeline is self-contained.
     """
+    import jax.numpy as jnp
+
     name = hypes["model"]["core_method"]
     if name not in MODEL_REGISTRY:
         raise KeyError(f"unknown model '{name}'; known: {sorted(MODEL_REGISTRY)}")
     args = dict(hypes["model"]["args"])
     args.setdefault("preprocess", hypes.get("preprocess"))
     args.setdefault("postprocess", hypes.get("postprocess"))
-    return MODEL_REGISTRY[name](args=args)
+    dtype = {"float32": jnp.float32, "bf16": jnp.bfloat16, "bfloat16": jnp.bfloat16}[
+        str(args.get("dtype", "float32"))
+    ]
+    return MODEL_REGISTRY[name](args=args, dtype=dtype)

@@ -52,6 +52,7 @@ def build_bench(n_scenes: int):
 
     repo = os.path.dirname(os.path.abspath(__file__))
     hypes = load_yaml(os.path.join(repo, "hypes_yaml/airv2x/lidar/det/where2comm.yaml"))
+    hypes["model"]["args"]["dtype"] = os.environ.get("BENCH_DTYPE", "bf16")
     model = build_model(hypes)
     layout = SlotLayout.from_args(hypes["model"]["args"])
     anchors = jnp.asarray(generate_anchor_grid(hypes["postprocess"]["anchor_args"]))
