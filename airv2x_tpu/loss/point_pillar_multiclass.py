@@ -46,7 +46,7 @@ def make_multiclass_loss(args: dict):
     num_class = int(args["num_class"])
     alpha, gamma = 0.25, 2.0
 
-    def loss_fn(output: dict, target: dict, prefix: str = ""):
+    def loss_fn(output: dict, target: dict, prefix: str = ""):  # noqa: C901
         psm = output[f"psm{prefix}"].astype(jnp.float32)  # (B, H, W, A*C)
         rm = output[f"rm{prefix}"].astype(jnp.float32)  # (B, H, W, 7A)
         obj = output[f"obj{prefix}"].astype(jnp.float32)  # (B, H, W, A)

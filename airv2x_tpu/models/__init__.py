@@ -12,5 +12,6 @@ from airv2x_tpu.models import where2comm_model  # noqa: F401
 from airv2x_tpu.models import intermediate_models  # noqa: F401
 from airv2x_tpu.models import v2xvit_model  # noqa: F401
 from airv2x_tpu.models import heal_model  # noqa: F401
+from airv2x_tpu.models import stamp_model  # noqa: F401
 
 __all__ = ["MODEL_REGISTRY", "build_model", "register_model"]

@@ -20,10 +20,18 @@ def _tiny_hypes():
     return load_yaml(os.path.join(REPO, "hypes_yaml/test/tiny_where2comm.yaml"))
 
 
+def _deep_merge(dst, src):
+    for k, v in src.items():
+        if isinstance(v, dict) and isinstance(dst.get(k), dict):
+            _deep_merge(dst[k], v)
+        else:
+            dst[k] = v
+
+
 def _patch(hypes, core_method, extra_args):
     h = copy.deepcopy(hypes)
     h["model"]["core_method"] = core_method
-    h["model"]["args"].update(extra_args)
+    _deep_merge(h["model"]["args"], extra_args)
     return h
 
 
@@ -81,6 +89,8 @@ VARIANTS = {
                 "layer_nums": [1],
                 "layer_strides": [2],
                 "num_filters": [16],
+                "upsample_strides": [],
+                "num_upsample_filter": [],
             },
             "shrink_header": {
                 "use": True,
@@ -91,6 +101,58 @@ VARIANTS = {
                 "padding": [1],
             },
             "compression": 0,
+        },
+    },
+    "airv2x_sicp": {
+        "sicp_fusion": {
+            "voxel_size": [0.4, 0.4, 4],
+            "downsample_rate": 4,
+            "in_channels": 64,
+            "out_channels": 64,
+        }
+    },
+    "airv2x_stamp": {
+        "in_head": 64,
+        "fusion_backbone": {
+            "resnext": True,
+            "layer_nums": [2, 2],
+            "layer_strides": [1, 2],
+            "num_filters": [32, 64],
+            "upsample_strides": [1, 2],
+            "num_upsample_filter": [32, 32],
+            "inplanes": 16,
+        },
+        "modality_fusion": {
+            "base_bev_backbone": {
+                "layer_nums": [1],
+                "layer_strides": [2],
+                "num_filters": [16],
+                "upsample_strides": [],
+                "num_upsample_filter": [],
+            },
+            "shrink_header": {
+                "use": True,
+                "input_dim": 64,
+                "dim": [64],
+                "kernal_size": [3],
+                "stride": [1],
+                "padding": [1],
+            },
+            "compression": 0,
+        },
+        "vehicle": {
+            "adapter": {
+                "core_method": "adapterconvnext",
+                "args": {
+                    "in_channels": 16,
+                    "out_channels": 16,
+                    "in_cav_lidar_range": [-19.2, -19.2, -3, 19.2, 19.2, 1],
+                    "out_cav_lidar_range": [-19.2, -19.2, -3, 19.2, 19.2, 1],
+                    "in_feature_shape": [48, 48],
+                    "out_feature_shape": [48, 48],
+                    "submodule_args": {"dim": 16, "depth": 1},
+                },
+            }
         },
     },
     "airv2x_v2xvit": {
