@@ -13,5 +13,6 @@ from airv2x_tpu.models import intermediate_models  # noqa: F401
 from airv2x_tpu.models import v2xvit_model  # noqa: F401
 from airv2x_tpu.models import heal_model  # noqa: F401
 from airv2x_tpu.models import stamp_model  # noqa: F401
+from airv2x_tpu.models import point_pillar_models  # noqa: F401
 
 __all__ = ["MODEL_REGISTRY", "build_model", "register_model"]

@@ -1,0 +1,259 @@
+"""OPV2V / DAIR-V2X / V2X-R ``point_pillar_*`` model family.
+
+Homogeneous (vehicle-only) PointPillars with one shared encoder and the
+fusion_in_one-style collaboration heads (reference models/point_pillar*.py +
+fuse_modules/fusion_in_one.py). Binary-class heads: psm = anchor_num
+channels, rm = 7 * anchor_num, no obj head — matching the OPV2V family.
+
+The dense agent-axis layout reuses SlotLayout with all slots typed
+'vehicle'; all AirV2X fusion modules plug in unchanged.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from airv2x_tpu.models.base import SlotLayout
+from airv2x_tpu.models.bev_backbone import BaseBEVBackbone
+from airv2x_tpu.models.fusion.cobevt import SwapFusionEncoder
+from airv2x_tpu.models.fusion.common import ego_agent_attention, max_fusion
+from airv2x_tpu.models.fusion.v2vnet import V2VNetFusion
+from airv2x_tpu.models.fusion.v2xvit import V2XTransformer
+from airv2x_tpu.models.fusion.when2com import When2comFusion
+from airv2x_tpu.models.fusion.where2comm import Where2commFusion
+from airv2x_tpu.models.nn import DownsampleConv, NaiveCompressor
+from airv2x_tpu.models.pillar_vfe import PillarVFE
+from airv2x_tpu.models.registry import register_model
+from airv2x_tpu.ops.scatter import scatter_pillars_to_bev_batch
+from airv2x_tpu.ops.voxelize import pillarize_batch
+
+
+class PointPillarBase(nn.Module):
+    """Shared spine: single-encoder pillars -> backbone -> fuse -> heads."""
+
+    args: dict
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        args = self.args
+        max_cav = args.get("max_cav", 5)
+        if isinstance(max_cav, dict):
+            max_cav = sum(max_cav.values())
+        self.layout = SlotLayout(counts=(int(max_cav), 0, 0))
+        pre = args["preprocess"]
+        self.pre = pre
+
+        pv = args["pillar_vfe"]
+        self.vfe = PillarVFE(
+            num_filters=pv["num_filters"],
+            voxel_size=pre["args"]["voxel_size"],
+            lidar_range=pre["cav_lidar_range"],
+            use_norm=pv["use_norm"],
+            with_distance=pv["with_distance"],
+            use_absolute_xyz=pv["use_absolute_xyz"],
+            dtype=self.dtype,
+        )
+        bb = args["base_bev_backbone"]
+        self.backbone = BaseBEVBackbone(
+            layer_nums=bb["layer_nums"],
+            layer_strides=bb["layer_strides"],
+            num_filters=bb["num_filters"],
+            upsample_strides=bb["upsample_strides"],
+            num_upsample_filters=bb["num_upsample_filter"],
+            dtype=self.dtype,
+        )
+        shrink = args.get("shrink_header", {})
+        self.shrink_flag = bool(shrink.get("use"))
+        if self.shrink_flag:
+            self.shrink_conv = DownsampleConv(
+                dims=shrink["dim"],
+                kernels=shrink["kernal_size"],
+                strides=shrink["stride"],
+                dtype=self.dtype,
+            )
+        self.compression = int(args.get("compression", 0)) > 0
+        if self.compression:
+            self.compressor = NaiveCompressor(
+                256, args["compression"], dtype=self.dtype
+            )
+        self.cls_head = nn.Conv(
+            args["anchor_number"], (1, 1), dtype=self.dtype, name="cls_head"
+        )
+        self.reg_head = nn.Conv(
+            7 * args["anchor_number"], (1, 1), dtype=self.dtype, name="reg_head"
+        )
+        self.setup_fusion()
+
+    def setup_fusion(self):
+        pass
+
+    def encode(self, batch, train):
+        pre = self.pre
+        lidar_range = pre["cav_lidar_range"]
+        voxel_size = pre["args"]["voxel_size"]
+        grid = tuple(
+            int(round((lidar_range[3 + i] - lidar_range[i]) / voxel_size[i]))
+            for i in range(3)
+        )
+        pts = batch["points"]
+        b, l = pts.shape[:2]
+        flat_pts = pts.reshape((b * l,) + pts.shape[2:])
+        flat_mask = batch["points_mask"].reshape((b * l,) + pts.shape[2:3])
+        pil = pillarize_batch(
+            flat_pts,
+            flat_mask,
+            lidar_range=jnp.asarray(lidar_range, jnp.float32),
+            voxel_size=jnp.asarray(voxel_size, jnp.float32),
+            grid_size=grid,
+            max_pillars=int(pre["args"].get("max_voxel_train", 16000)),
+            max_points_per_pillar=int(pre["args"].get("max_points_per_voxel", 32)),
+        )
+        pf = self.vfe(pil.voxels, pil.num_points, pil.coords, pil.mask, train)
+        bev = scatter_pillars_to_bev_batch(
+            pf, pil.coords, pil.mask, ny=grid[1], nx=grid[0]
+        )
+        bev = bev.reshape((b, l) + bev.shape[1:])
+        return bev * batch["agent_mask"][:, :, None, None, None].astype(bev.dtype)
+
+    def fuse(self, grouped, batch, train):
+        """(B, L, H, W, C) -> ((B, H, W, C), comm_rate). Default: ego only."""
+        return grouped[:, 0], jnp.asarray(0.0)
+
+    def __call__(self, batch, train: bool = False):
+        x = self.encode(batch, train)
+        b, l = x.shape[:2]
+        flat = x.reshape((b * l,) + x.shape[2:])
+        feats, _ = self.backbone(flat, train)
+        if self.shrink_flag:
+            feats = self.shrink_conv(feats, train)
+        if self.compression:
+            feats = self.compressor(feats, train)
+        grouped = feats.reshape((b, l) + feats.shape[1:])
+        fused, rate = self.fuse(grouped, batch, train)
+        return {
+            "psm": self.cls_head(fused),
+            "rm": self.reg_head(fused),
+            "comm_rate": rate,
+        }
+
+
+@register_model("point_pillar")
+class PointPillar(PointPillarBase):
+    """Single-agent (no-fusion) baseline (models/point_pillar.py)."""
+
+
+@register_model("point_pillar_intermediate", "point_pillar_attfusion")
+class PointPillarIntermediate(PointPillarBase):
+    """AttFusion intermediate baseline (models/point_pillar_intermediate.py)."""
+
+    def fuse(self, grouped, batch, train):
+        return ego_agent_attention(grouped, batch["agent_mask"]), jnp.asarray(1.0)
+
+
+@register_model("point_pillar_max")
+class PointPillarMax(PointPillarBase):
+    def fuse(self, grouped, batch, train):
+        return max_fusion(grouped, batch["agent_mask"]), jnp.asarray(1.0)
+
+
+@register_model("point_pillar_where2comm")
+class PointPillarWhere2comm(PointPillarBase):
+    def setup_fusion(self):
+        w2c = self.args["where2comm_fusion"]
+        comm = w2c.get("communication", {})
+        gauss = comm.get("gaussian_smooth")
+        self.fusion_net = Where2commFusion(
+            multi_scale=False,
+            fully=w2c.get("fully", False),
+            threshold=comm.get("threshold", 0.01),
+            smooth=gauss is not None,
+            k_size=gauss["k_size"] if gauss else 5,
+            c_sigma=gauss["c_sigma"] if gauss else 1.0,
+            dtype=self.dtype,
+        )
+
+    def fuse(self, grouped, batch, train):
+        b, l = grouped.shape[:2]
+        flat = grouped.reshape((b * l,) + grouped.shape[2:])
+        psm_single = self.cls_head(flat)
+        psm_grouped = psm_single.reshape((b, l) + psm_single.shape[1:])
+        return self.fusion_net(
+            grouped, psm_grouped, batch["agent_mask"], train=train
+        )
+
+
+@register_model("point_pillar_v2xvit")
+class PointPillarV2XViT(PointPillarBase):
+    def setup_fusion(self):
+        self.fusion_net = V2XTransformer(self.args["transformer"], dtype=self.dtype)
+
+    def fuse(self, grouped, batch, train):
+        fused = self.fusion_net(
+            grouped,
+            batch["agent_mask"],
+            batch["pairwise_t"],
+            batch["prior_encoding"],
+            train,
+        )
+        return fused, jnp.asarray(1.0)
+
+
+@register_model("point_pillar_cobevt")
+class PointPillarCoBEVT(PointPillarBase):
+    def setup_fusion(self):
+        fax = dict(self.args["fax_fusion"])
+        fax.setdefault("agent_size", self.layout.total)
+        self.fusion_net = SwapFusionEncoder(args=fax, dtype=self.dtype)
+
+    def fuse(self, grouped, batch, train):
+        return self.fusion_net(grouped, batch["agent_mask"], train), jnp.asarray(1.0)
+
+
+@register_model("point_pillar_v2vnet")
+class PointPillarV2VNet(PointPillarBase):
+    def setup_fusion(self):
+        self.fusion_net = V2VNetFusion(args=self.args["v2vfusion"], dtype=self.dtype)
+
+    def fuse(self, grouped, batch, train):
+        fused = self.fusion_net(
+            grouped, batch["agent_mask"], batch["pairwise_t_full"], train
+        )
+        return fused, jnp.asarray(1.0)
+
+
+@register_model("point_pillar_when2com")
+class PointPillarWhen2com(PointPillarBase):
+    def setup_fusion(self):
+        self.fusion_net = When2comFusion(
+            args=self.args["when2com_fusion"], dtype=self.dtype
+        )
+
+    def fuse(self, grouped, batch, train):
+        fused = self.fusion_net(
+            grouped, batch["agent_mask"], batch["pairwise_t_full"], train
+        )
+        return fused, jnp.asarray(1.0)
+
+
+@register_model("point_pillar_disconet")
+class PointPillarDiscoNet(PointPillarBase):
+    """DiscoNet student (models/point_pillar_disconet.py): pixel-weighted
+    agent fusion; the frozen teacher (early-fusion point_pillar) supervises
+    features via loss.variants.make_disconet_loss."""
+
+    def setup_fusion(self):
+        self.weight_net = nn.Conv(1, (1, 1), dtype=self.dtype, name="pixel_weight")
+
+    def fuse(self, grouped, batch, train):
+        b, l = grouped.shape[:2]
+        flat = grouped.reshape((b * l,) + grouped.shape[2:])
+        logits = self.weight_net(flat).reshape(b, l, *grouped.shape[2:4], 1)
+        mask = batch["agent_mask"][:, :, None, None, None]
+        logits = jnp.where(mask, logits, -1e9)
+        w = jnp.exp(logits - jnp.max(logits, axis=1, keepdims=True))
+        w = w * mask.astype(w.dtype)
+        w = w / jnp.maximum(jnp.sum(w, axis=1, keepdims=True), 1e-9)
+        return jnp.sum(grouped * w, axis=1), jnp.asarray(1.0)

@@ -1,0 +1,154 @@
+"""OPV2V point_pillar family smoke tests (tiny grid)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from airv2x_tpu.loss import build_loss
+from airv2x_tpu.models import MODEL_REGISTRY, build_model
+from airv2x_tpu.models.base import SlotLayout
+
+
+def _hypes(core_method, extra=None):
+    args = {
+        "max_cav": 3,
+        "anchor_number": 2,
+        "pillar_vfe": {
+            "use_norm": True,
+            "with_distance": False,
+            "use_absolute_xyz": True,
+            "num_filters": [16],
+        },
+        "base_bev_backbone": {
+            "layer_nums": [1, 1],
+            "layer_strides": [2, 2],
+            "num_filters": [16, 32],
+            "upsample_strides": [1, 2],
+            "num_upsample_filter": [16, 16],
+        },
+        "shrink_header": {
+            "use": True,
+            "input_dim": 32,
+            "dim": [32],
+            "kernal_size": [1],
+            "stride": [1],
+            "padding": [0],
+        },
+        "compression": 0,
+    }
+    args.update(extra or {})
+    return {
+        "model": {"core_method": core_method, "args": args},
+        "preprocess": {
+            "cav_lidar_range": [-12.8, -12.8, -3, 12.8, 12.8, 1],
+            "args": {
+                "voxel_size": [0.4, 0.4, 4],
+                "max_voxel_train": 512,
+                "max_points_per_voxel": 8,
+            },
+        },
+        "postprocess": {"max_num": 20},
+        "loss": {
+            "core_method": "point_pillar_loss",
+            "args": {"cls_weight": 1.0, "reg": 2.0},
+        },
+    }
+
+
+def _batch(rng, l=3, n=512):
+    pts = rng.uniform(-12, 12, (1, l, n, 4)).astype(np.float32)
+    pts[..., 2] = rng.uniform(-2, 0, (1, l, n))
+    return {
+        "points": jnp.asarray(pts),
+        "points_mask": jnp.ones((1, l, n), bool),
+        "agent_mask": jnp.asarray([[True, True, False]]),
+        "pairwise_t": jnp.broadcast_to(jnp.eye(4), (1, l, 4, 4)),
+        "pairwise_t_full": jnp.broadcast_to(jnp.eye(4), (1, l, l, 4, 4)),
+        "prior_encoding": jnp.zeros((1, l, 3)),
+    }
+
+
+EXTRAS = {
+    "point_pillar": {},
+    "point_pillar_intermediate": {},
+    "point_pillar_max": {},
+    "point_pillar_disconet": {},
+    "point_pillar_where2comm": {
+        "where2comm_fusion": {
+            "fully": False,
+            "communication": {
+                "threshold": 0.01,
+                "gaussian_smooth": {"k_size": 3, "c_sigma": 1.0},
+            },
+        }
+    },
+    "point_pillar_cobevt": {
+        "fax_fusion": {
+            "input_dim": 32,
+            "mlp_dim": 32,
+            "window_size": 4,
+            "dim_head": 16,
+            "drop_out": 0.0,
+            "depth": 1,
+            "mask": True,
+        }
+    },
+    "point_pillar_v2vnet": {
+        "v2vfusion": {
+            "voxel_size": [0.4, 0.4, 4],
+            "downsample_rate": 2,
+            "num_iteration": 1,
+            "in_channels": 32,
+            "gru_flag": False,
+            "agg_operator": "avg",
+            "conv_gru": {"H": 32, "W": 32, "kernel_size": [3, 3], "num_layers": 1},
+        }
+    },
+    "point_pillar_when2com": {
+        "when2com_fusion": {
+            "voxel_size": [0.4, 0.4, 4],
+            "downsample_rate": 2,
+            "in_channels": 32,
+            "query_size": 8,
+            "key_size": 16,
+            "mode": "softmax",
+            "H": 32,
+            "W": 32,
+        }
+    },
+}
+
+
+@pytest.mark.parametrize("name", sorted(EXTRAS))
+def test_point_pillar_forward(name):
+    hypes = _hypes(name, EXTRAS[name])
+    model = build_model(hypes)
+    rng = np.random.default_rng(0)
+    batch = _batch(rng)
+    variables = jax.jit(lambda r, b: model.init(r, b, train=False))(
+        {"params": jax.random.PRNGKey(0), "comm": jax.random.PRNGKey(1)}, batch
+    )
+    out = jax.jit(lambda v, b: model.apply(v, b, train=False))(variables, batch)
+    assert out["psm"].shape == (1, 32, 32, 2)
+    assert out["rm"].shape == (1, 32, 32, 14)
+    assert np.isfinite(np.asarray(out["psm"])).all()
+
+
+def test_binary_loss():
+    hypes = _hypes("point_pillar")
+    loss_fn = build_loss(hypes)
+    rng = np.random.default_rng(0)
+    out = {
+        "psm": jnp.asarray(rng.normal(size=(1, 32, 32, 2)).astype(np.float32)),
+        "rm": jnp.asarray(rng.normal(size=(1, 32, 32, 14)).astype(np.float32)),
+    }
+    pos = np.zeros((1, 32, 32, 2), np.float32)
+    pos[0, 10, 10, 0] = 1
+    target = {
+        "pos_equal_one": jnp.asarray(pos),
+        "targets": jnp.zeros((1, 32, 32, 14)),
+    }
+    total, parts = loss_fn(out, target)
+    assert np.isfinite(float(total))
+    assert "conf_loss" in parts and "reg_loss" in parts
