@@ -14,5 +14,7 @@ from airv2x_tpu.models import v2xvit_model  # noqa: F401
 from airv2x_tpu.models import heal_model  # noqa: F401
 from airv2x_tpu.models import stamp_model  # noqa: F401
 from airv2x_tpu.models import point_pillar_models  # noqa: F401
+from airv2x_tpu.models import temporal_models  # noqa: F401
+from airv2x_tpu.models import radar_models  # noqa: F401
 
 __all__ = ["MODEL_REGISTRY", "build_model", "register_model"]

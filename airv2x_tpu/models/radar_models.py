@@ -1,0 +1,204 @@
+"""V2X-R 4D-radar models: RTNH and LiDAR+radar fusion variants.
+
+RTNH (twin of models/RTNH_intermediate.py + RTNH_modules/rdr_sp_pw.py):
+the reference encodes radar voxels with spconv SparseConv3d stacks; the
+radar z extent is shallow (10 cells at 0.4 m over [-3, 1] m), so the
+TPU-native design voxelizes to a DENSE (Z, Y, X, C) grid and runs dense 3D
+convolutions — MXU-friendly and jit-static (SURVEY.md §2.1 N9 mapping).
+
+point_pillar_l4dr / point_pillar_intermediate_lrf (twins of
+models/point_pillar_L4DR.py / point_pillar_*_lrf.py): LiDAR and 4D-radar
+clouds encoded by separate PillarVFEs on the shared grid and fused by a
+learned per-pixel gate before the BEV backbone.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from airv2x_tpu.models.fusion.common import ego_agent_attention
+from airv2x_tpu.models.nn import BN_EPS, BN_MOMENTUM
+from airv2x_tpu.models.pillar_vfe import PillarVFE
+from airv2x_tpu.models.point_pillar_models import PointPillarBase
+from airv2x_tpu.models.registry import register_model
+from airv2x_tpu.ops.scatter import (
+    scatter_pillars_to_bev_batch,
+    scatter_voxels_to_grid_batch,
+)
+from airv2x_tpu.ops.voxelize import pillarize_batch
+
+
+class _Conv3DBN(nn.Module):
+    features: int
+    stride: tuple = (1, 1, 1)
+    kernel: tuple = (3, 3, 3)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(
+            self.features, self.kernel, strides=self.stride, padding="SAME",
+            use_bias=False, dtype=self.dtype,
+        )(x)
+        x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
+                         epsilon=BN_EPS, dtype=self.dtype)(x)
+        return nn.relu(x)
+
+
+class RadarDenseBackbone(nn.Module):
+    """Dense-3D-conv stand-in for the spconv encoder (rdr_sp_pw.py:17-120).
+
+    Per encoder level: strided 3x3x3 conv + a refining conv (the reference's
+    SparseConv3d + SubMConv3d pair), z collapsed into channels per level and
+    upsampled back to a common BEV resolution.
+    """
+
+    channels: tuple = (32, 64, 128)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        # x: (B, Z, Y, X, C)
+        outs = []
+        h_ref = x.shape[2]
+        for i, ch in enumerate(self.channels):
+            stride = (1, 1, 1) if i == 0 else (2, 2, 2)
+            x = _Conv3DBN(ch, stride=stride, dtype=self.dtype)(x, train)
+            x = _Conv3DBN(ch, dtype=self.dtype)(x, train)
+            # collapse z into channels -> BEV map per level
+            b, z, yy, xx, c = x.shape
+            bev = x.transpose(0, 2, 3, 1, 4).reshape(b, yy, xx, z * c)
+            bev = nn.Conv(ch, (1, 1), dtype=self.dtype)(bev)
+            if yy != h_ref:
+                import jax
+
+                bev = jax.image.resize(
+                    bev, (b, h_ref, bev.shape[2] * (h_ref // yy), ch), "bilinear"
+                )
+            outs.append(bev)
+        return jnp.concatenate(outs, axis=-1)
+
+
+@register_model("RTNH_intermediate", "rtnh_intermediate")
+class RTNHIntermediate(PointPillarBase):
+    """Radar dense-voxel backbone + attention collaboration."""
+
+    def setup_fusion(self):
+        rcfg = self.args.get("rtnh", {})
+        self.radar_backbone = RadarDenseBackbone(
+            channels=tuple(rcfg.get("channels", (32, 64, 128))), dtype=self.dtype
+        )
+
+    def encode(self, batch, train):
+        pre = self.pre
+        lidar_range = pre["cav_lidar_range"]
+        voxel_size = pre["args"]["voxel_size"]
+        grid = tuple(
+            int(round((lidar_range[3 + i] - lidar_range[i]) / voxel_size[i]))
+            for i in range(3)
+        )
+        pts = batch["points"]
+        b, l = pts.shape[:2]
+        flat_pts = pts.reshape((b * l,) + pts.shape[2:])
+        flat_mask = batch["points_mask"].reshape((b * l,) + pts.shape[2:3])
+        pil = pillarize_batch(
+            flat_pts,
+            flat_mask,
+            lidar_range=jnp.asarray(lidar_range, jnp.float32),
+            voxel_size=jnp.asarray(voxel_size, jnp.float32),
+            grid_size=grid,
+            max_pillars=int(pre["args"].get("max_voxel_train", 16000)),
+            max_points_per_pillar=int(pre["args"].get("max_points_per_voxel", 8)),
+        )
+        vf = self.vfe(pil.voxels, pil.num_points, pil.coords, pil.mask, train)
+        dense = scatter_voxels_to_grid_batch(
+            vf, pil.coords, pil.mask, nz=grid[2], ny=grid[1], nx=grid[0]
+        )  # (B*L, Z, Y, X, C)
+        bev = self.radar_backbone(dense, train)
+        bev = bev.reshape((b, l) + bev.shape[1:])
+        return bev * batch["agent_mask"][:, :, None, None, None].astype(bev.dtype)
+
+    def __call__(self, batch, train: bool = False):
+        x = self.encode(batch, train)  # already multi-scale BEV features
+        b, l = x.shape[:2]
+        flat = x.reshape((b * l,) + x.shape[2:])
+        if self.shrink_flag:
+            flat = self.shrink_conv(flat, train)
+        grouped = flat.reshape((b, l) + flat.shape[1:])
+        fused = ego_agent_attention(grouped, batch["agent_mask"])
+        return {
+            "psm": self.cls_head(fused),
+            "rm": self.reg_head(fused),
+            "comm_rate": jnp.asarray(1.0),
+        }
+
+
+@register_model("point_pillar_l4dr", "point_pillar_L4DR",
+                "point_pillar_intermediate_lrf")
+class PointPillarL4DR(PointPillarBase):
+    """LiDAR + 4D-radar gated pillar fusion then the standard spine.
+
+    Batch carries a second cloud: ``radar_points`` / ``radar_points_mask``
+    with the same slot layout.
+    """
+
+    def setup_fusion(self):
+        pv = self.args["pillar_vfe"]
+        pre = self.pre
+        self.radar_vfe = PillarVFE(
+            num_filters=pv["num_filters"],
+            voxel_size=pre["args"]["voxel_size"],
+            lidar_range=pre["cav_lidar_range"],
+            use_norm=pv["use_norm"],
+            with_distance=pv["with_distance"],
+            use_absolute_xyz=pv["use_absolute_xyz"],
+            dtype=self.dtype,
+            name="radar_vfe",
+        )
+        c = pv["num_filters"][-1]
+        self.gate_conv = nn.Conv(c, (1, 1), dtype=self.dtype, name="lrf_gate")
+
+    def _encode_cloud(self, pts, mask, vfe, train):
+        pre = self.pre
+        lidar_range = pre["cav_lidar_range"]
+        voxel_size = pre["args"]["voxel_size"]
+        grid = tuple(
+            int(round((lidar_range[3 + i] - lidar_range[i]) / voxel_size[i]))
+            for i in range(3)
+        )
+        b, l = pts.shape[:2]
+        flat_pts = pts.reshape((b * l,) + pts.shape[2:])
+        flat_mask = mask.reshape((b * l,) + pts.shape[2:3])
+        pil = pillarize_batch(
+            flat_pts,
+            flat_mask,
+            lidar_range=jnp.asarray(lidar_range, jnp.float32),
+            voxel_size=jnp.asarray(voxel_size, jnp.float32),
+            grid_size=grid,
+            max_pillars=int(pre["args"].get("max_voxel_train", 16000)),
+            max_points_per_pillar=int(pre["args"].get("max_points_per_voxel", 32)),
+        )
+        pf = vfe(pil.voxels, pil.num_points, pil.coords, pil.mask, train)
+        bev = scatter_pillars_to_bev_batch(
+            pf, pil.coords, pil.mask, ny=grid[1], nx=grid[0]
+        )
+        return bev.reshape((b, l) + bev.shape[1:])
+
+    def encode(self, batch, train):
+        lidar = self._encode_cloud(
+            batch["points"], batch["points_mask"], self.vfe, train
+        )
+        radar = self._encode_cloud(
+            batch["radar_points"], batch["radar_points_mask"], self.radar_vfe, train
+        )
+        gate = nn.sigmoid(
+            self.gate_conv(jnp.concatenate([lidar, radar], axis=-1))
+        )
+        fused = gate * lidar + (1.0 - gate) * radar
+        return fused * batch["agent_mask"][:, :, None, None, None].astype(fused.dtype)
+
+    def fuse(self, grouped, batch, train):
+        return ego_agent_attention(grouped, batch["agent_mask"]), jnp.asarray(1.0)

@@ -88,6 +88,41 @@ def _edge_intersections(q1: jnp.ndarray, q2: jnp.ndarray):
     return pts.reshape(shp), valid.reshape(valid.shape[:-2] + (16,))
 
 
+_SORT_N = 32  # candidates padded to a power of two for the bitonic network
+_BIG = 1e9
+
+
+def _bitonic_sort_by_key(keys: jnp.ndarray, pts: jnp.ndarray):
+    """Ascending sort of (..., N) keys carrying (..., N, 2) points.
+
+    A static bitonic network: every stage is an elementwise min/max against a
+    *statically* permuted partner lane — no data-dependent gathers. On TPU
+    this replaces an argsort + two take_along_axis (which lowered to ~1 ms
+    per 1k pairs, see bench history) with pure VPU ops.
+    """
+    import numpy as _np
+
+    n = keys.shape[-1]
+    assert n & (n - 1) == 0, "bitonic size must be a power of two"
+    idx = _np.arange(n)
+    k = 2
+    while k <= n:
+        j = k // 2
+        while j >= 1:
+            partner = idx ^ j
+            kp = jnp.take(keys, partner, axis=-1)
+            pp = jnp.take(pts, partner, axis=-2)
+            lower = jnp.asarray(idx < partner)
+            ascend = jnp.asarray((idx & k) == 0)
+            take_min = lower == ascend  # static (n,) bool
+            take_self = jnp.where(take_min, keys <= kp, keys >= kp)
+            keys = jnp.where(take_min, jnp.minimum(keys, kp), jnp.maximum(keys, kp))
+            pts = jnp.where(take_self[..., None], pts, pp)
+            j //= 2
+        k *= 2
+    return keys, pts
+
+
 def quad_intersection_area(q1: jnp.ndarray, q2: jnp.ndarray) -> jnp.ndarray:
     """Intersection area of two convex quads, (..., 4, 2) x (..., 4, 2) -> (...,)."""
     batch = jnp.broadcast_shapes(q1.shape[:-2], q2.shape[:-2])
@@ -104,20 +139,26 @@ def quad_intersection_area(q1: jnp.ndarray, q2: jnp.ndarray) -> jnp.ndarray:
     # Centroid of valid candidates.
     denom = jnp.maximum(num_valid, 1)[..., None]
     centroid = jnp.sum(jnp.where(valid[..., None], cand, 0.0), axis=-2) / denom
-    rel = cand - centroid[..., None, :]
+    rel = jnp.where(valid[..., None], cand - centroid[..., None, :], 0.0)
 
     ang = jnp.arctan2(rel[..., 1], rel[..., 0])
-    ang = jnp.where(valid, ang, jnp.inf)  # invalid sort to the end
-    order = jnp.argsort(ang, axis=-1)
-    rel_sorted = jnp.take_along_axis(rel, order[..., None], axis=-2)
+    ang = jnp.where(valid, ang, _BIG)  # invalid sort to the end
 
-    # Pad the tail by repeating the last valid vertex: gather index
-    # min(i, num_valid-1) so repeated vertices add zero shoelace terms while
-    # keeping the closing edge correct.
-    idx = jnp.arange(_NUM_CAND)
-    last = jnp.maximum(num_valid - 1, 0)[..., None]
-    gather = jnp.minimum(jnp.broadcast_to(idx, ang.shape), last)
-    poly = jnp.take_along_axis(rel_sorted, gather[..., None], axis=-2)
+    pad = _SORT_N - _NUM_CAND
+    ang = jnp.concatenate(
+        [ang, jnp.full(batch + (pad,), _BIG, ang.dtype)], axis=-1
+    )
+    rel = jnp.concatenate(
+        [rel, jnp.zeros(batch + (pad, 2), rel.dtype)], axis=-2
+    )
+    ang_s, rel_s = _bitonic_sort_by_key(ang, rel)
+
+    # Replace the invalid tail with the FIRST vertex: the closing edge
+    # v_{k-1} -> v_0 is then the real one and every duplicated v_0 edge
+    # contributes zero to the shoelace sum — no gather needed.
+    valid_s = ang_s < _BIG / 2
+    first = rel_s[..., :1, :]
+    poly = jnp.where(valid_s[..., None], rel_s, first)
 
     area = polygon_area(poly)
     return jnp.where(num_valid >= 3, area, 0.0)

@@ -44,3 +44,25 @@ def scatter_pillars_to_bev_batch(pillar_features, coords, mask, *, ny, nx):
     return jax.vmap(partial(scatter_pillars_to_bev, ny=ny, nx=nx))(
         pillar_features, coords, mask
     )
+
+
+@partial(jax.jit, static_argnames=("nz", "ny", "nx"))
+def scatter_voxels_to_grid(voxel_features, coords, mask, *, nz, ny, nx):
+    """Scatter (V, C) voxel features into a dense (nz, ny, nx, C) grid.
+
+    3D analog of the pillar scatter — the dense-grid replacement for the
+    reference's spconv sparse tensors (SURVEY.md N9 mapping): the radar z
+    extent is shallow (~10 cells), so a dense grid + dense 3D convs map
+    straight onto the MXU.
+    """
+    z = jnp.where(mask, coords[:, 0], nz)
+    y = jnp.where(mask, coords[:, 1], ny)
+    x = jnp.where(mask, coords[:, 2], nx)
+    canvas = jnp.zeros((nz, ny, nx, voxel_features.shape[-1]), voxel_features.dtype)
+    return canvas.at[z, y, x].set(voxel_features, mode="drop")
+
+
+def scatter_voxels_to_grid_batch(voxel_features, coords, mask, *, nz, ny, nx):
+    return jax.vmap(partial(scatter_voxels_to_grid, nz=nz, ny=ny, nx=nx))(
+        voxel_features, coords, mask
+    )

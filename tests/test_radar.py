@@ -1,0 +1,42 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from airv2x_tpu.models import build_model
+from tests.test_point_pillar_family import _batch, _hypes
+
+
+def test_rtnh_forward():
+    hypes = _hypes("RTNH_intermediate", {"rtnh": {"channels": [8, 16]}})
+    # shallow z grid for the dense 3D convs
+    hypes["preprocess"]["args"]["voxel_size"] = [0.4, 0.4, 0.5]
+    hypes["model"]["args"]["shrink_header"] = {
+        "use": True, "input_dim": 24, "dim": [32], "kernal_size": [1],
+        "stride": [1], "padding": [0],
+    }
+    model = build_model(hypes)
+    rng = np.random.default_rng(0)
+    batch = _batch(rng)
+    variables = jax.jit(lambda r, b: model.init(r, b, train=False))(
+        {"params": jax.random.PRNGKey(0), "comm": jax.random.PRNGKey(1)}, batch
+    )
+    out = jax.jit(lambda v, b: model.apply(v, b, train=False))(variables, batch)
+    assert out["psm"].shape == (1, 64, 64, 2)
+    assert np.isfinite(np.asarray(out["psm"])).all()
+
+
+def test_l4dr_forward():
+    hypes = _hypes("point_pillar_l4dr", {})
+    model = build_model(hypes)
+    rng = np.random.default_rng(0)
+    batch = _batch(rng)
+    radar = rng.uniform(-12, 12, (1, 3, 256, 4)).astype(np.float32)
+    radar[..., 2] = rng.uniform(-2, 0, (1, 3, 256))
+    batch["radar_points"] = jnp.asarray(radar)
+    batch["radar_points_mask"] = jnp.ones((1, 3, 256), bool)
+    variables = jax.jit(lambda r, b: model.init(r, b, train=False))(
+        {"params": jax.random.PRNGKey(0), "comm": jax.random.PRNGKey(1)}, batch
+    )
+    out = jax.jit(lambda v, b: model.apply(v, b, train=False))(variables, batch)
+    assert out["psm"].shape == (1, 32, 32, 2)
+    assert np.isfinite(np.asarray(out["psm"])).all()
