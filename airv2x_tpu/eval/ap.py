@@ -83,3 +83,46 @@ def calculate_ap(result_stat, iou_thresh, global_sort_detections: bool = True):
 
 def eval_final_results(result_stat):
     return {f"ap_{int(t * 100)}": calculate_ap(result_stat, t) for t in IOU_THRESHOLDS}
+
+
+# ---------------------------------------------------------------------------
+# Multiclass mAP (twin of eval_utils_airv2x.py:204-426)
+# ---------------------------------------------------------------------------
+
+
+def new_multiclass_stat(num_classes: int):
+    return {c: new_result_stat() for c in range(1, num_classes + 1)}
+
+
+def accumulate_multiclass(
+    det_corners, det_scores, det_labels, gt_corners, gt_labels, stat
+):
+    """Per-class greedy matching: detections and gts are bucketed by class
+    and matched within the class (calculate_multiclass_tp_fp :204-264)."""
+    for c, class_stat in stat.items():
+        dm = det_labels == c if det_corners is not None else None
+        gm = gt_labels == c
+        for t in IOU_THRESHOLDS:
+            accumulate_tp_fp(
+                det_corners[dm] if det_corners is not None else None,
+                det_scores[dm] if det_scores is not None else None,
+                gt_corners[gm],
+                class_stat,
+                t,
+            )
+
+
+def eval_multiclass_results(stat):
+    """Per-class AP at each threshold + mAP over classes with ground truth
+    (compute_multiclass_ap_map :265-321)."""
+    out = {"per_class": {}}
+    for t in IOU_THRESHOLDS:
+        aps = []
+        for c, class_stat in stat.items():
+            if class_stat[t]["gt"] == 0:
+                continue
+            ap = calculate_ap(class_stat, t)
+            out["per_class"].setdefault(c, {})[f"ap_{int(t * 100)}"] = ap
+            aps.append(ap)
+        out[f"map_{int(t * 100)}"] = float(np.mean(aps)) if aps else 0.0
+    return out
