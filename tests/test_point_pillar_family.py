@@ -152,3 +152,56 @@ def test_binary_loss():
     total, parts = loss_fn(out, target)
     assert np.isfinite(float(total))
     assert "conf_loss" in parts and "reg_loss" in parts
+
+
+def test_coalign_forward():
+    hypes = _hypes(
+        "point_pillar_coalign",
+        {"coalign_fusion": {"discrete_ratio": 0.4, "downsample_rate": 2}},
+    )
+    from airv2x_tpu.models import build_model
+    import jax, jax.numpy as jnp
+    model = build_model(hypes)
+    rng = np.random.default_rng(0)
+    batch = _batch(rng)
+    variables = jax.jit(lambda r, b: model.init(r, b, train=False))(
+        {"params": jax.random.PRNGKey(0), "comm": jax.random.PRNGKey(1)}, batch
+    )
+    out = jax.jit(lambda v, b: model.apply(v, b, train=False))(variables, batch)
+    assert out["psm"].shape == (1, 32, 32, 2)
+
+
+def test_bm2cp_forward():
+    import copy
+    import os
+    from airv2x_tpu.config import load_yaml
+    from airv2x_tpu.data.synthetic import make_batch
+    from airv2x_tpu.models import build_model
+    from airv2x_tpu.models.base import SlotLayout
+    import jax, jax.numpy as jnp
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    hypes = load_yaml(os.path.join(repo, "hypes_yaml/test/tiny_where2comm.yaml"))
+    hypes = copy.deepcopy(hypes)
+    hypes["model"]["core_method"] = "airv2x_bm2cp"
+    hypes["model"]["args"]["bm2cp_fusion"] = {
+        "communication": {
+            "threshold": 0.01,
+            "gaussian_smooth": {"k_size": 3, "c_sigma": 1.0},
+        }
+    }
+    model = build_model(hypes)
+    layout = SlotLayout.from_args(hypes["model"]["args"])
+    rng = np.random.default_rng(1)
+    batch, _ = make_batch(
+        rng, layout, batch_size=1, num_objects=3, points_per_agent=512,
+        lidar_range=hypes["preprocess"]["cav_lidar_range"], max_boxes=50,
+        pts_per_box=30,
+    )
+    batch = jax.tree.map(jnp.asarray, batch)
+    variables = jax.jit(lambda r, b: model.init(r, b, train=False))(
+        {"params": jax.random.PRNGKey(0), "comm": jax.random.PRNGKey(1)}, batch
+    )
+    out = model.apply(variables, batch, train=False)
+    assert out["psm"].shape == (1, 48, 48, 14)
+    assert np.isfinite(np.asarray(out["psm"])).all()
