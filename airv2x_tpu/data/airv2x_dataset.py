@@ -236,7 +236,7 @@ class AirV2XDataset:
         pairwise = np.tile(np.eye(4, dtype=np.float32), (L, 1, 1))
         pairwise_full = np.tile(np.eye(4, dtype=np.float32), (L, L, 1, 1))
 
-        from airv2x_tpu.data.pcd import read_pcd
+        from airv2x_tpu.data.native import load_pcd_into
 
         for tname in AGENT_TYPES:
             sl = self.layout.slots(tname)
@@ -255,23 +255,17 @@ class AirV2XDataset:
 
                 if a["lidar"] is None:
                     continue
-                pts = read_pcd(a["lidar"])
-                # drop points on the sensor's own carrier (mask_ego_points)
-                close = (np.abs(pts[:, 0]) < 2.0) & (np.abs(pts[:, 1]) < 2.0)
-                pts = pts[~close]
-                if self.proj_first:
-                    pts = tf.transform_points(pts, t_cav_ego).astype(np.float32)
-                lr = self.lidar_range
-                keep = (
-                    (pts[:, 0] > lr[0]) & (pts[:, 0] < lr[3])
-                    & (pts[:, 1] > lr[1]) & (pts[:, 1] < lr[4])
-                    & (pts[:, 2] > lr[2]) & (pts[:, 2] < lr[5])
+                # one native pass: parse + ego mask + project + range crop
+                cnt = load_pcd_into(
+                    a["lidar"],
+                    points[slot],
+                    transform=t_cav_ego.astype(np.float32)
+                    if self.proj_first
+                    else None,
+                    lidar_range=np.asarray(self.lidar_range, np.float32),
+                    ego_mask=2.0,
                 )
-                pts = pts[keep]
-                if len(pts) > n:
-                    pts = pts[rng.permutation(len(pts))[:n]]
-                points[slot, : len(pts)] = pts
-                points_mask[slot, : len(pts)] = True
+                points_mask[slot, :cnt] = True
 
         if self.proj_first:
             pairwise_batch = np.tile(np.eye(4, dtype=np.float32), (L, 1, 1))

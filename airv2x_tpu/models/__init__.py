@@ -18,5 +18,6 @@ from airv2x_tpu.models import temporal_models  # noqa: F401
 from airv2x_tpu.models import radar_models  # noqa: F401
 from airv2x_tpu.models import bm2cp_model  # noqa: F401
 from airv2x_tpu.models import coalign_model  # noqa: F401
+from airv2x_tpu.models import lss_model  # noqa: F401
 
 __all__ = ["MODEL_REGISTRY", "build_model", "register_model"]
