@@ -1,0 +1,168 @@
+"""Per-scenario evaluation over the on-disk dataset
+(twin of tools/inference_multi_scenario.py:277-433).
+
+Buckets AP statistics per scenario directory, reports AP@{0.3,0.5,0.7} per
+scenario and combined, plus mean communication rate; writes ``results.txt``
+in the run dir. Falls back to synthetic scenes (single bucket) when the
+dataset directory is absent so the tool stays exercisable end-to-end.
+
+  python -m airv2x_tpu.tools.inference_multi_scenario --model_dir <run> \
+      [--test_dir dataset/airv2x/test]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--model_dir", required=True)
+    p.add_argument("--test_dir", default="")
+    p.add_argument("--epoch", type=int, default=0)
+    p.add_argument("--num_scenes", type=int, default=16, help="synthetic fallback")
+    p.add_argument("--save_vis", action="store_true")
+    p.add_argument("--seed", type=int, default=123)
+    return p.parse_args()
+
+
+def main():
+    opt = parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+
+    from airv2x_tpu.config import load_yaml
+    from airv2x_tpu.data.airv2x_dataset import AirV2XDataset
+    from airv2x_tpu.data.postprocess import decode_detections
+    from airv2x_tpu.data.synthetic import make_scene
+    from airv2x_tpu.eval.ap import (
+        accumulate_tp_fp,
+        eval_final_results,
+        new_result_stat,
+    )
+    from airv2x_tpu.models import build_model
+    from airv2x_tpu.models.base import SlotLayout
+    from airv2x_tpu.ops import geometry as geo
+    from airv2x_tpu.ops.anchors import generate_anchor_grid
+    from airv2x_tpu.parallel.train import create_train_state, make_optimizer
+    from airv2x_tpu.utils.checkpoint import find_best_epoch, load_checkpoint
+    from airv2x_tpu.visualization.bev_canvas import visualize
+
+    hypes = load_yaml(None, opt.model_dir)
+    model = build_model(hypes)
+    layout = SlotLayout.from_args(hypes["model"]["args"])
+    anchors = jnp.asarray(generate_anchor_grid(hypes["postprocess"]["anchor_args"]))
+    lidar_range = hypes["preprocess"]["cav_lidar_range"]
+    tgt = hypes["postprocess"]["target_args"]
+    lr = jnp.asarray(lidar_range, jnp.float32)
+
+    test_dir = opt.test_dir or hypes.get("test_dir", "")
+    use_dataset = test_dir and os.path.isdir(test_dir)
+
+    def sample_iter():
+        if use_dataset:
+            ds = AirV2XDataset(hypes, test_dir, train=False)
+            for i in range(len(ds)):
+                scen = os.path.basename(ds.samples[i][0])
+                batch, gt = ds[i]
+                yield scen, batch, gt
+        else:
+            rng = np.random.default_rng(opt.seed)
+            for i in range(opt.num_scenes):
+                batch, gt = make_scene(
+                    rng,
+                    layout,
+                    points_per_agent=int(
+                        hypes["preprocess"].get("max_points", 8192)
+                    ),
+                    lidar_range=lidar_range,
+                )
+                yield f"synthetic_{i % 4}", batch, gt
+
+    first = next(iter(sample_iter()))
+    example = jax.tree.map(lambda x: jnp.asarray(x)[None], first[1])
+    variables = jax.jit(lambda r, b: model.init(r, b, train=False))(
+        {"params": jax.random.PRNGKey(0), "comm": jax.random.PRNGKey(1)}, example
+    )
+    tx, _ = make_optimizer(hypes)
+    state = create_train_state(model, variables, tx)
+    epoch = opt.epoch or find_best_epoch(opt.model_dir)
+    if epoch:
+        state = load_checkpoint(opt.model_dir, epoch, jax.device_get(state))
+        print(f"loaded epoch {epoch}")
+
+    @jax.jit
+    def infer(params, stats, batch):
+        out = model.apply(
+            {"params": params, "batch_stats": stats}, batch, train=False
+        )
+        det = decode_detections(
+            out["psm"][0],
+            out["rm"][0],
+            out["obj"][0],
+            anchors,
+            jnp.eye(4),
+            lr,
+            num_class=hypes["num_class"],
+            obj_threshold=tgt["obj_threshold"],
+            nms_thresh=hypes["postprocess"]["nms_thresh"],
+        )
+        return det, out.get("comm_rate", jnp.asarray(1.0))
+
+    per_scenario = {}
+    comm_rates = []
+    vis_dir = os.path.join(opt.model_dir, "vis")
+    if opt.save_vis:
+        os.makedirs(vis_dir, exist_ok=True)
+
+    for i, (scen, scene, gt) in enumerate(sample_iter()):
+        batch = jax.tree.map(lambda x: jnp.asarray(x)[None], scene)
+        det, rate = infer(state.params, state.batch_stats, batch)
+        comm_rates.append(float(rate))
+        stat = per_scenario.setdefault(scen, new_result_stat())
+
+        keep = np.asarray(det.mask)
+        det_c = np.asarray(det.corners)[keep][:, :4, :2]
+        det_s = np.asarray(det.scores)[keep]
+        gt_boxes = gt["boxes"][gt["mask"]]
+        gt_c = np.asarray(
+            geo.boxes_to_corners_bev(jnp.asarray(gt_boxes), order="hwl")
+        )
+        for t in (0.3, 0.5, 0.7):
+            accumulate_tp_fp(det_c, det_s, gt_c, stat, t)
+
+        if opt.save_vis and i < 8:
+            pts = scene["points"][scene["points_mask"]].reshape(-1, 4)
+            visualize(
+                det_c, gt_c, pts, lidar_range,
+                save_path=os.path.join(vis_dir, f"frame_{i:04d}.png"),
+            )
+
+    # combine buckets (combine_stat_by_scenarios :346)
+    combined = new_result_stat()
+    lines = []
+    for scen, stat in sorted(per_scenario.items()):
+        res = eval_final_results(stat)
+        lines.append(f"{scen}: {res}")
+        for t in (0.3, 0.5, 0.7):
+            for k in ("tp", "fp", "score"):
+                combined[t][k] += stat[t][k]
+            combined[t]["gt"] += stat[t]["gt"]
+    total = eval_final_results(combined)
+    total["comm_rate"] = float(np.mean(comm_rates))
+    lines.append(f"COMBINED: {total}")
+
+    for line in lines:
+        print(line)
+    with open(os.path.join(opt.model_dir, "results.txt"), "a") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -53,6 +53,12 @@ def build_bench(n_scenes: int):
     repo = os.path.dirname(os.path.abspath(__file__))
     hypes = load_yaml(os.path.join(repo, "hypes_yaml/airv2x/lidar/det/where2comm.yaml"))
     hypes["model"]["args"]["dtype"] = os.environ.get("BENCH_DTYPE", "bf16")
+    # Size the static agent capacity to the benchmarked scene (3 veh + 2 rsu
+    # + 1 drone): the reference's compute scales with the ACTUAL agent count
+    # (ragged record_len), ours with the configured capacity — equal-work
+    # comparison requires equal capacity.
+    hypes["model"]["args"]["max_cav"] = dict(NUM_AGENTS)
+    hypes["train_params"]["max_cav"] = dict(NUM_AGENTS)
     model = build_model(hypes)
     layout = SlotLayout.from_args(hypes["model"]["args"])
     anchors = jnp.asarray(generate_anchor_grid(hypes["postprocess"]["anchor_args"]))
