@@ -80,6 +80,58 @@ def decode_detections(
     )
 
 
+def decode_late_fusion(
+    psm, rm, obj, anchors, pairwise_t, agent_mask, lidar_range, **kw
+):
+    """Late-fusion decode: per-agent boxes projected to ego + one joint NMS.
+
+    Twin of the reference late-fusion path (inference_utils
+    inference_late_fusion + VoxelPostprocessor.post_process over all cavs,
+    voxel_postprocessor.py:432-582): heads run per agent (leading axis L),
+    candidates are projected into the ego frame with each agent's
+    transformation matrix, concatenated, filtered and suppressed jointly.
+
+    psm/rm/obj: (L, H, W, C*) per-agent head outputs; pairwise_t: (L, 4, 4)
+    cav->ego; agent_mask: (L,).
+    """
+    num_class = kw["num_class"]
+    obj_threshold = kw["obj_threshold"]
+    nms_thresh = kw["nms_thresh"]
+    top_k = kw.get("top_k", 1024)
+
+    l, h, w, a = obj.shape
+    flat_anchors = anchors.reshape(-1, 7)
+
+    objness = jax.nn.sigmoid(obj.astype(jnp.float32)).reshape(l, -1)
+    deltas = rm.astype(jnp.float32).reshape(l, -1, 7)
+    boxes = decode_boxes(deltas, flat_anchors[None])  # (L, N, 7)
+    cls = jax.nn.sigmoid(psm.astype(jnp.float32).reshape(l, -1, a, num_class))
+    cls = cls.reshape(l, -1, num_class)[..., 1:]
+    labels = jnp.argmax(cls, axis=-1).astype(jnp.int32) + 1
+
+    corners = geo.boxes_to_corners_3d(boxes, order="hwl")  # (L, N, 8, 3)
+    flat_c = geo.project_corners(corners.reshape(l, -1, 3), pairwise_t)
+    corners = flat_c.reshape(l, -1, 8, 3)
+
+    valid = (objness > obj_threshold) & agent_mask[:, None]
+    z_min, z_max = lidar_range[2], lidar_range[5]
+    valid &= geo.keep_reasonable_boxes(corners, z_min=z_min, z_max=z_max)
+
+    # flatten agents into one candidate pool
+    n = l * objness.shape[1]
+    corners = corners.reshape(n, 8, 3)
+    scores = objness.reshape(n)
+    labels = labels.reshape(n)
+    boxes = boxes.reshape(n, 7)
+    valid = valid.reshape(n)
+
+    keep = rotated_nms(corners[:, :4, :2], scores, valid, nms_thresh, top_k=top_k)
+    keep &= geo.mask_boxes_in_range_bev(corners, lidar_range)
+    return Detections(
+        boxes=boxes, corners=corners, scores=scores, labels=labels, mask=keep
+    )
+
+
 def decode_detections_batch(psm, rm, obj, anchors, transform, lidar_range, **kw):
     """vmap over the batch axis of NHWC head outputs."""
     fn = partial(

@@ -19,5 +19,7 @@ from airv2x_tpu.models import radar_models  # noqa: F401
 from airv2x_tpu.models import bm2cp_model  # noqa: F401
 from airv2x_tpu.models import coalign_model  # noqa: F401
 from airv2x_tpu.models import lss_model  # noqa: F401
+from airv2x_tpu.models import early_fusion_model  # noqa: F401
+from airv2x_tpu.models import att_backbone_models  # noqa: F401
 
 __all__ = ["MODEL_REGISTRY", "build_model", "register_model"]

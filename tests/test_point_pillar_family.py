@@ -205,3 +205,65 @@ def test_bm2cp_forward():
     out = model.apply(variables, batch, train=False)
     assert out["psm"].shape == (1, 48, 48, 14)
     assert np.isfinite(np.asarray(out["psm"])).all()
+
+
+def test_early_fusion_forward():
+    hypes = _hypes("point_pillar_early", {})
+    model = build_model(hypes)
+    rng = np.random.default_rng(0)
+    batch = _batch(rng)
+    variables = jax.jit(lambda r, b: model.init(r, b, train=False))(
+        {"params": jax.random.PRNGKey(0), "comm": jax.random.PRNGKey(1)}, batch
+    )
+    out = jax.jit(lambda v, b: model.apply(v, b, train=False))(variables, batch)
+    assert out["psm"].shape == (1, 32, 32, 2)
+
+
+def test_attresnet_forward():
+    hypes = _hypes("point_pillar_attresnet", {})
+    model = build_model(hypes)
+    rng = np.random.default_rng(0)
+    batch = _batch(rng)
+    variables = jax.jit(lambda r, b: model.init(r, b, train=False))(
+        {"params": jax.random.PRNGKey(0), "comm": jax.random.PRNGKey(1)}, batch
+    )
+    out = jax.jit(lambda v, b: model.apply(v, b, train=False))(variables, batch)
+    assert out["psm"].shape == (1, 32, 32, 2)
+
+
+def test_spatialcooper_forward():
+    hypes = _hypes("point_pillar_spatialcooper", {})
+    model = build_model(hypes)
+    rng = np.random.default_rng(0)
+    batch = _batch(rng)
+    variables = jax.jit(lambda r, b: model.init(r, b, train=False))(
+        {"params": jax.random.PRNGKey(0), "comm": jax.random.PRNGKey(1)}, batch
+    )
+    out = jax.jit(lambda v, b: model.apply(v, b, train=False))(variables, batch)
+    assert out["psm"].shape == (1, 32, 32, 2)
+
+
+def test_late_fusion_decode():
+    import jax.numpy as jnp
+    from airv2x_tpu.data.postprocess import decode_late_fusion
+    from airv2x_tpu.ops.anchors import generate_anchor_grid
+
+    aargs = {
+        "W": 64, "H": 64, "l": 3.9, "w": 1.6, "h": 1.56, "r": [0, 90],
+        "feature_stride": 2, "vw": 0.4, "vh": 0.4,
+        "cav_lidar_range": [-12.8, -12.8, -3, 12.8, 12.8, 1],
+    }
+    anchors = jnp.asarray(generate_anchor_grid(aargs))
+    rng = np.random.default_rng(0)
+    L, H, W, A = 2, 32, 32, 2
+    psm = jnp.asarray(rng.normal(size=(L, H, W, A * 7)).astype(np.float32))
+    rm = jnp.asarray(rng.normal(scale=0.05, size=(L, H, W, 7 * A)).astype(np.float32))
+    obj = jnp.asarray(rng.normal(size=(L, H, W, A)).astype(np.float32))
+    t = jnp.broadcast_to(jnp.eye(4), (L, 4, 4))
+    det = decode_late_fusion(
+        psm, rm, obj, anchors, t, jnp.asarray([True, True]),
+        jnp.asarray(aargs["cav_lidar_range"], jnp.float32),
+        num_class=7, obj_threshold=0.2, nms_thresh=0.15, top_k=256,
+    )
+    assert det.mask.shape == (L * H * W * A,)
+    assert np.isfinite(np.asarray(det.scores)).all()
