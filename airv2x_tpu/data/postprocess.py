@@ -132,6 +132,14 @@ def decode_late_fusion(
     )
 
 
+def decode_segmentation(dynamic_logits, static_logits):
+    """Seg decode (post_process_segmentation_airv2x twin,
+    voxel_postprocessor.py:842-861): per-pixel argmax class maps."""
+    dyn = jnp.argmax(jax.nn.sigmoid(dynamic_logits.astype(jnp.float32)), axis=-1)
+    sta = jnp.argmax(jax.nn.sigmoid(static_logits.astype(jnp.float32)), axis=-1)
+    return dyn.astype(jnp.int32), sta.astype(jnp.int32)
+
+
 def decode_detections_batch(psm, rm, obj, anchors, transform, lidar_range, **kw):
     """vmap over the batch axis of NHWC head outputs."""
     fn = partial(

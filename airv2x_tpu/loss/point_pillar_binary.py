@@ -65,6 +65,25 @@ def make_binary_loss(args: dict):
     return loss_fn
 
 
+@register_loss("point_pillar_loss_mdd")
+def make_mdd_loss(args: dict):
+    """Detection loss + diffusion eps-MSE term (loss/point_pillar_loss_mdd
+    twin); the model exposes ``diff_loss`` in its outputs."""
+    base = make_binary_loss(args)
+    diff_weight = float(args.get("diff_weight", 1.0))
+
+    def loss_fn(output: dict, target: dict, prefix: str = ""):
+        total, parts = base(output, target, prefix)
+        if "diff_loss" in output:
+            total = total + diff_weight * output["diff_loss"]
+            parts = dict(parts)
+            parts["diff_loss"] = output["diff_loss"]
+            parts[f"total_loss{prefix}"] = total
+        return total, parts
+
+    return loss_fn
+
+
 @register_loss("point_pillar_disconet_loss")
 def make_disconet_loss(args: dict):
     """DiscoNet knowledge distillation (loss/point_pillar_disconet_loss.py):

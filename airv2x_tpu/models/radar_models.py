@@ -202,3 +202,60 @@ class PointPillarL4DR(PointPillarBase):
 
     def fuse(self, grouped, batch, train):
         return ego_agent_attention(grouped, batch["agent_mask"]), jnp.asarray(1.0)
+
+
+@register_model("point_pillar_intermediate_lrf_MDD", "point_pillar_mdd")
+class PointPillarLRFMDD(PointPillarL4DR):
+    """LiDAR+radar fusion with radar-conditioned diffusion denoising of the
+    LiDAR BEV features (twin of point_pillar_intermediate_lrf_MDD.py: the
+    MDD block denoises the lidar branch before fusion; the diffusion MSE is
+    exposed as ``diff_loss`` for the mdd loss variant)."""
+
+    def setup_fusion(self):
+        from airv2x_tpu.models.fusion.mdd import CondDiffDenoise
+
+        pv = self.args["pillar_vfe"]
+        pre = self.pre
+        self.radar_vfe = PillarVFE(
+            num_filters=pv["num_filters"],
+            voxel_size=pre["args"]["voxel_size"],
+            lidar_range=pre["cav_lidar_range"],
+            use_norm=pv["use_norm"],
+            with_distance=pv["with_distance"],
+            use_absolute_xyz=pv["use_absolute_xyz"],
+            dtype=self.dtype,
+            name="radar_vfe",
+        )
+        mdd = self.args.get("mdd_block", {})
+        self.mdd = CondDiffDenoise(
+            channels=int(mdd.get("channels", 32)),
+            num_train_steps=int(mdd.get("num_steps", 100)),
+            infer_steps=int(mdd.get("infer_steps", 4)),
+            dtype=self.dtype,
+        )
+
+    def __call__(self, batch, train: bool = False):
+        lidar = self._encode_cloud(batch["points"], batch["points_mask"], self.vfe, train
+        )
+        radar = self._encode_cloud(
+            batch["radar_points"],
+            batch["radar_points_mask"],
+            self.radar_vfe,
+            train,
+        )
+        b, l = lidar.shape[:2]
+        lid_flat = lidar.reshape((b * l,) + lidar.shape[2:])
+        rad_flat = radar.reshape((b * l,) + radar.shape[2:])
+        denoised, diff_loss = self.mdd(lid_flat, rad_flat, train)
+        x = 0.5 * (denoised + rad_flat)
+        feats, _ = self.backbone(x, train)
+        if self.shrink_flag:
+            feats = self.shrink_conv(feats, train)
+        grouped = feats.reshape((b, l) + feats.shape[1:])
+        fused = ego_agent_attention(grouped, batch["agent_mask"])
+        return {
+            "psm": self.cls_head(fused),
+            "rm": self.reg_head(fused),
+            "diff_loss": diff_loss,
+            "comm_rate": jnp.asarray(1.0),
+        }

@@ -40,3 +40,37 @@ def test_l4dr_forward():
     out = jax.jit(lambda v, b: model.apply(v, b, train=False))(variables, batch)
     assert out["psm"].shape == (1, 32, 32, 2)
     assert np.isfinite(np.asarray(out["psm"])).all()
+
+
+def test_mdd_forward_train_and_eval():
+    from tests.test_point_pillar_family import _batch, _hypes
+
+    hypes = _hypes(
+        "point_pillar_mdd",
+        {"mdd_block": {"channels": 16, "num_steps": 20, "infer_steps": 2}},
+    )
+    model = build_model(hypes)
+    rng = np.random.default_rng(0)
+    batch = _batch(rng)
+    radar = rng.uniform(-12, 12, (1, 3, 256, 4)).astype(np.float32)
+    radar[..., 2] = rng.uniform(-2, 0, (1, 3, 256))
+    batch["radar_points"] = jnp.asarray(radar)
+    batch["radar_points_mask"] = jnp.ones((1, 3, 256), bool)
+    variables = jax.jit(lambda r, b: model.init(r, b, train=False))(
+        {
+            "params": jax.random.PRNGKey(0),
+            "comm": jax.random.PRNGKey(1),
+            "diffusion": jax.random.PRNGKey(2),
+        },
+        batch,
+    )
+    out = jax.jit(lambda v, b: model.apply(v, b, train=False))(variables, batch)
+    assert out["psm"].shape == (1, 32, 32, 2)
+    assert np.isfinite(np.asarray(out["psm"])).all()
+    # train mode produces a finite diffusion loss
+    out_t, _ = model.apply(
+        variables, batch, train=True,
+        rngs={"comm": jax.random.PRNGKey(3), "diffusion": jax.random.PRNGKey(4)},
+        mutable=["batch_stats"],
+    )
+    assert np.isfinite(float(out_t["diff_loss"]))
