@@ -1,0 +1,225 @@
+"""Pallas TPU kernel for the pairwise rotated-quad IoU matrix.
+
+The XLA implementation (ops.rotated_iou.pairwise_quad_iou) materializes
+every intermediate of the 24-candidate construction in HBM — ~10 GB of
+traffic for a 1024x1024 matrix (~76 ms on v5e). This kernel tiles the pair
+matrix into (TI, TJ) blocks and runs the whole pipeline — edge
+intersections, containment tests, centroid, angle sort (flip-based bitonic
+network), shoelace — entirely in VMEM, so HBM sees only the two corner
+lists in and the IoU tile out.
+
+Layout: all per-pair temporaries are (TI, K, TJ) with the j-pair axis on
+the 128-wide lane dimension; the candidate axis K lives on sublanes, and
+the bitonic partner exchange is a static reshape+flip on K (no gathers).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_EPS = 1e-8
+_BIG = 1e9
+_NC = 24  # candidate count
+_NS = 32  # bitonic width
+
+
+def _iou_tile_kernel(q1_ref, q2_ref, out_ref):
+    ti = q1_ref.shape[0]
+    tj = q2_ref.shape[0]
+
+    # corner coordinates: i-side (TI, 4, 1), j-side (1, 4, TJ)
+    x1 = q1_ref[:, :, 0][:, :, None]  # (TI, 4, 1)
+    y1 = q1_ref[:, :, 1][:, :, None]
+    x2 = jnp.transpose(q2_ref[:, :, 0])[None, :, :]  # (1, 4, TJ)
+    y2 = jnp.transpose(q2_ref[:, :, 1])[None, :, :]
+
+    def nxt(a, axis=1):
+        # jnp.roll(a, -1) equivalent; pltpu.roll requires shift >= 0
+        return pltpu.roll(a, a.shape[axis] - 1, axis)
+
+    # ---- 16 edge-edge intersections ----
+    ax, ay, bx, by = x1, y1, nxt(x1), nxt(y1)  # (TI, 4, 1)
+    cx, cy, dx, dy = x2, y2, nxt(x2), nxt(y2)  # (1, 4, TJ)
+    rx, ry = bx - ax, by - ay
+    sx, sy = dx - cx, dy - cy
+
+    # broadcast edge pairs to (TI, 4, 4, TJ): i-edge axis 1, j-edge axis 2
+    def bi(a):  # (TI, 4, 1) -> (TI, 4, 1, 1)
+        return a[:, :, None, :]
+
+    def bj(a):  # (1, 4, TJ) -> (1, 1, 4, TJ)
+        return a[:, None, :, :]
+
+    denom = bi(rx) * bj(sy) - bi(ry) * bj(sx)  # (TI, 4, 4, TJ)
+    qpx = bj(cx) - bi(ax)
+    qpy = bj(cy) - bi(ay)
+    t_num = qpx * bj(sy) - qpy * bj(sx)
+    u_num = qpx * bi(ry) - qpy * bi(rx)
+    safe = jnp.where(jnp.abs(denom) > _EPS, denom, 1.0)
+    t = t_num / safe
+    u = u_num / safe
+    inter_ok = (
+        (jnp.abs(denom) > _EPS)
+        & (t >= -_EPS) & (t <= 1.0 + _EPS)
+        & (u >= -_EPS) & (u <= 1.0 + _EPS)
+    )
+    ix = bi(ax) + t * bi(rx)
+    iy = bi(ay) + t * bi(ry)
+
+    ix = ix.reshape(ti, 16, tj)
+    iy = iy.reshape(ti, 16, tj)
+    iok_f = jnp.where(inter_ok, 1.0, 0.0).reshape(ti, 16, tj)
+
+    # ---- corner containment ----
+    def inside(px, py, qx, qy):
+        # point (TI, P, TJ) in convex quad given by (corner arrays broadcast
+        # to (TI?, 4, TJ?)); cross sign against all 4 edges consistent.
+        ex, ey = nxt(qx) - qx, nxt(qy) - qy  # quad edges
+        relx = px[:, :, None, :] - qx[:, None, :, :]
+        rely = py[:, :, None, :] - qy[:, None, :, :]
+        cr = ex[:, None, :, :] * rely - ey[:, None, :, :] * relx
+        # unrolled 4-way min: Mosaic rejects middle-axis reductions of 4D
+        ge = le = None
+        for kk in range(4):
+            g = jnp.where(cr[:, :, kk, :] >= -_EPS, 1.0, 0.0)
+            l_ = jnp.where(cr[:, :, kk, :] <= _EPS, 1.0, 0.0)
+            ge = g if ge is None else jnp.minimum(ge, g)
+            le = l_ if le is None else jnp.minimum(le, l_)
+        return jnp.maximum(ge, le)  # float 0/1 mask
+
+    # q1 corners in q2: points (TI, 4, 1) vs quad (1, 4, TJ)
+    in12 = inside(
+        jnp.broadcast_to(x1, (ti, 4, 1)),
+        jnp.broadcast_to(y1, (ti, 4, 1)),
+        jnp.broadcast_to(x2, (1, 4, tj)),
+        jnp.broadcast_to(y2, (1, 4, tj)),
+    )  # (TI, 4, TJ)
+    in21 = inside(
+        jnp.broadcast_to(x2, (1, 4, tj)),
+        jnp.broadcast_to(y2, (1, 4, tj)),
+        jnp.broadcast_to(x1, (ti, 4, 1)),
+        jnp.broadcast_to(y1, (ti, 4, 1)),
+    )  # (1... broadcasting) -> (TI? , 4, TJ)
+    in21 = jnp.broadcast_to(in21, (ti, 4, tj))  # float masks
+    in12 = jnp.broadcast_to(in12, (ti, 4, tj))
+
+    cx1 = jnp.broadcast_to(x1, (ti, 4, tj))
+    cy1 = jnp.broadcast_to(y1, (ti, 4, tj))
+    cx2 = jnp.broadcast_to(x2, (ti, 4, tj))
+    cy2 = jnp.broadcast_to(y2, (ti, 4, tj))
+
+    candx = jnp.concatenate([ix, cx1, cx2], axis=1)  # (TI, 24, TJ)
+    candy = jnp.concatenate([iy, cy1, cy2], axis=1)
+    valid_f = jnp.concatenate([iok_f, in12, in21], axis=1)  # float 0/1
+
+    nvalid = jnp.sum(valid_f, axis=1)  # (TI, TJ)
+    denomv = jnp.maximum(nvalid, 1.0)[:, None, :]
+    mx = jnp.sum(valid_f * candx, axis=1, keepdims=True) / denomv
+    my = jnp.sum(valid_f * candy, axis=1, keepdims=True) / denomv
+    relx = valid_f * (candx - mx)
+    rely = valid_f * (candy - my)
+    # diamond pseudo-angle: monotonic in atan2 (which Pallas does not lower),
+    # mapping the circle to [-2, 2) — the sort only needs the ordering.
+    r = rely / (jnp.abs(relx) + jnp.abs(rely) + _EPS)
+    pseudo = jnp.where(
+        relx >= 0, r, jnp.where(rely >= 0, 2.0 - r, -2.0 - r)
+    )
+    ang = jnp.where(valid_f > 0.5, pseudo, _BIG)
+
+    # pad candidate axis to 32
+    pad = jnp.full((ti, _NS - _NC, tj), _BIG, ang.dtype)
+    zeros = jnp.zeros((ti, _NS - _NC, tj), relx.dtype)
+    ang = jnp.concatenate([ang, pad], axis=1)
+    relx = jnp.concatenate([relx, zeros], axis=1)
+    rely = jnp.concatenate([rely, zeros], axis=1)
+
+    # ---- bitonic sort by angle (flip-based partner exchange on axis 1) ----
+    lane_f = jax.lax.broadcasted_iota(jnp.int32, (1, _NS, 1), 1).astype(
+        jnp.float32
+    )
+
+    def bit_is_clear(m):
+        # bit test via float arithmetic (Mosaic rejects some int bit ops)
+        return jnp.mod(jnp.floor(lane_f / m), 2.0) < 0.5
+    k = 2
+    while k <= _NS:
+        j = k // 2
+        while j >= 1:
+            # partner value a[i XOR j]: lanes with bit j clear read i+j
+            # (roll left by j), lanes with bit j set read i-j (roll right) —
+            # no wraparound crosses a 2j block, so global rolls are exact.
+            bit_clear = bit_is_clear(j)
+
+            def swap(a, bit_clear=bit_clear, j=j):
+                left = pltpu.roll(a, _NS - j, 1)  # a[(i + j) % NS]
+                right = pltpu.roll(a, j, 1)  # a[(i - j) % NS]
+                return jnp.where(bit_clear, left, right)
+
+            kp = swap(ang)
+            px = swap(relx)
+            py = swap(rely)
+            kbit_clear = bit_is_clear(k)
+            tm = jnp.where(bit_clear, kbit_clear, ~kbit_clear)
+            take_self = jnp.where(tm, ang <= kp, ang >= kp)
+            ang = jnp.where(tm, jnp.minimum(ang, kp), jnp.maximum(ang, kp))
+            relx = jnp.where(take_self, relx, px)
+            rely = jnp.where(take_self, rely, py)
+            j //= 2
+        k *= 2
+
+    # replace invalid tail with the first (lowest-angle) vertex
+    vs = ang < _BIG / 2
+    fx = relx[:, 0:1, :]
+    fy = rely[:, 0:1, :]
+    relx = jnp.where(vs, relx, fx)
+    rely = jnp.where(vs, rely, fy)
+
+    # shoelace with wraparound
+    nx_ = pltpu.roll(relx, _NS - 1, 1)
+    ny_ = pltpu.roll(rely, _NS - 1, 1)
+    inter = 0.5 * jnp.abs(jnp.sum(relx * ny_ - nx_ * rely, axis=1))
+    inter = jnp.where(nvalid >= 3.0, inter, 0.0)
+
+    # quad areas via shoelace of the raw corners
+    a1 = 0.5 * jnp.abs(
+        jnp.sum(x1 * nxt(y1) - nxt(x1) * y1, axis=1)
+    )  # (TI, 1)
+    a2 = 0.5 * jnp.abs(jnp.sum(x2 * nxt(y2) - nxt(x2) * y2, axis=1))  # (1, TJ)
+    union = a1 + a2 - inter
+    out_ref[:, :] = inter / jnp.maximum(union, _EPS)
+
+
+@partial(jax.jit, static_argnames=("tile_i", "tile_j"))
+def pairwise_quad_iou_pallas(
+    c1: jnp.ndarray, c2: jnp.ndarray, tile_i: int = 128, tile_j: int = 128
+) -> jnp.ndarray:
+    """(N, 4, 2) x (M, 4, 2) -> (N, M) IoU via the fused VMEM kernel.
+
+    N and M must be multiples of the tile sizes (the NMS path pads to a
+    power-of-two top_k, which satisfies this).
+    """
+    n, m = c1.shape[0], c2.shape[0]
+    assert n % tile_i == 0 and m % tile_j == 0, (n, m, tile_i, tile_j)
+    grid = (n // tile_i, m // tile_j)
+    return pl.pallas_call(
+        _iou_tile_kernel,
+        out_shape=jax.ShapeDtypeStruct((n, m), jnp.float32),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (tile_i, 4, 2), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (tile_j, 4, 2), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (tile_i, tile_j), lambda i, j: (i, j), memory_space=pltpu.VMEM
+        ),
+    )(c1.astype(jnp.float32), c2.astype(jnp.float32))

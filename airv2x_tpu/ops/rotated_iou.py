@@ -105,16 +105,26 @@ def _bitonic_sort_by_key(keys: jnp.ndarray, pts: jnp.ndarray):
     n = keys.shape[-1]
     assert n & (n - 1) == 0, "bitonic size must be a power of two"
     idx = _np.arange(n)
+    batch = keys.shape[:-1]
+
+    def partner_swap(a, j, extra_dims):
+        # partner lane = idx XOR j == flip of the pair axis after reshaping
+        # lanes into (groups, 2, j): a static reshape + reverse, no gather.
+        shp = a.shape
+        g = n // (2 * j)
+        a = a.reshape(batch + (g, 2, j) + shp[len(batch) + 1 :])
+        a = jnp.flip(a, axis=len(batch) + 1)
+        return a.reshape(shp)
+
     k = 2
     while k <= n:
         j = k // 2
         while j >= 1:
-            partner = idx ^ j
-            kp = jnp.take(keys, partner, axis=-1)
-            pp = jnp.take(pts, partner, axis=-2)
-            lower = jnp.asarray(idx < partner)
-            ascend = jnp.asarray((idx & k) == 0)
-            take_min = lower == ascend  # static (n,) bool
+            kp = partner_swap(keys, j, 0)
+            pp = partner_swap(pts, j, 1)
+            lower = (idx & j) == 0
+            ascend = (idx & k) == 0
+            take_min = jnp.asarray(lower == ascend)  # static (n,) bool
             take_self = jnp.where(take_min, keys <= kp, keys >= kp)
             keys = jnp.where(take_min, jnp.minimum(keys, kp), jnp.maximum(keys, kp))
             pts = jnp.where(take_self[..., None], pts, pp)

@@ -141,27 +141,31 @@ def measure(n_scenes: int, repeats: int = 3) -> float:
 
 def main():
     if os.environ.get("BENCH_CPU_CHILD"):
+        # The axon TPU plugin ignores the JAX_PLATFORMS env var; the config
+        # flag is honored (must run before any backend is instantiated).
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        assert jax.devices()[0].platform == "cpu", jax.devices()
         print(json.dumps({"cpu_scenes_per_sec": measure(2, repeats=1)}))
         return
 
     scenes_per_sec = measure(N_SCENES)
 
     vs = None
-    if not os.environ.get("BENCH_NO_CPU"):
+    cache_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_baseline_cpu.json"
+    )
+    if os.environ.get("BENCH_MEASURE_CPU"):
         env = dict(os.environ)
-        env.update(
-            {
-                "BENCH_CPU_CHILD": "1",
-                "JAX_PLATFORMS": "cpu",
-            }
-        )
+        env["BENCH_CPU_CHILD"] = "1"
         try:
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
                 env=env,
                 capture_output=True,
                 text=True,
-                timeout=2400,
+                timeout=3000,
             )
             cpu = json.loads(out.stdout.strip().splitlines()[-1])[
                 "cpu_scenes_per_sec"
@@ -169,6 +173,10 @@ def main():
             vs = scenes_per_sec / cpu
         except Exception:
             vs = None
+    if vs is None and os.path.isfile(cache_path):
+        with open(cache_path) as f:
+            cpu = json.load(f)["cpu_scenes_per_sec"]
+        vs = scenes_per_sec / cpu
 
     print(
         json.dumps(
