@@ -4,13 +4,21 @@ The XLA implementation (ops.rotated_iou.pairwise_quad_iou) materializes
 every intermediate of the 24-candidate construction in HBM — ~10 GB of
 traffic for a 1024x1024 matrix (~76 ms on v5e). This kernel tiles the pair
 matrix into (TI, TJ) blocks and runs the whole pipeline — edge
-intersections, containment tests, centroid, angle sort (flip-based bitonic
-network), shoelace — entirely in VMEM, so HBM sees only the two corner
-lists in and the IoU tile out.
+intersections, containment tests, centroid, angle sort (roll-based bitonic
+network, no gathers), shoelace — entirely in VMEM, so HBM sees only the two
+corner lists in and the IoU tile out.
 
 Layout: all per-pair temporaries are (TI, K, TJ) with the j-pair axis on
-the 128-wide lane dimension; the candidate axis K lives on sublanes, and
-the bitonic partner exchange is a static reshape+flip on K (no gathers).
+the 128-wide lane dimension and the candidate axis K on sublanes.
+
+STATUS: semantics are verified against the XLA implementation in
+interpret mode (tests/test_pallas_iou.py, max err ~2e-5), but the Mosaic
+compiler in this image rejects the composed kernel with "Unsupported target
+bitwidth for truncation" (every individual construct — rolls, 4D reshapes,
+two-sided broadcasts, bool reductions — compiles in isolation; the failure
+appears only in composition). ``pairwise_quad_iou_fused`` therefore probes
+the backend once and falls back to the XLA path. Revisit when the
+toolchain moves or by restructuring to 2D-only shapes.
 """
 
 from __future__ import annotations
@@ -23,7 +31,11 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_EPS = 1e-8
+_EPS = 1e-8  # division guards
+# Inclusion tolerance for intersection/containment tests: must sit above
+# f32 rounding noise at BEV coordinate magnitudes (~100 m -> ~1e-5), or
+# corner-touching candidates drop out and degenerate the polygon.
+_TOL = 1e-4
 _BIG = 1e9
 _NC = 24  # candidate count
 _NS = 32  # bitonic width
@@ -66,8 +78,8 @@ def _iou_tile_kernel(q1_ref, q2_ref, out_ref):
     u = u_num / safe
     inter_ok = (
         (jnp.abs(denom) > _EPS)
-        & (t >= -_EPS) & (t <= 1.0 + _EPS)
-        & (u >= -_EPS) & (u <= 1.0 + _EPS)
+        & (t >= -_TOL) & (t <= 1.0 + _TOL)
+        & (u >= -_TOL) & (u <= 1.0 + _TOL)
     )
     ix = bi(ax) + t * bi(rx)
     iy = bi(ay) + t * bi(ry)
@@ -87,8 +99,8 @@ def _iou_tile_kernel(q1_ref, q2_ref, out_ref):
         # unrolled 4-way min: Mosaic rejects middle-axis reductions of 4D
         ge = le = None
         for kk in range(4):
-            g = jnp.where(cr[:, :, kk, :] >= -_EPS, 1.0, 0.0)
-            l_ = jnp.where(cr[:, :, kk, :] <= _EPS, 1.0, 0.0)
+            g = jnp.where(cr[:, :, kk, :] >= -_TOL * 100.0, 1.0, 0.0)
+            l_ = jnp.where(cr[:, :, kk, :] <= _TOL * 100.0, 1.0, 0.0)
             ge = g if ge is None else jnp.minimum(ge, g)
             le = l_ if le is None else jnp.minimum(le, l_)
         return jnp.maximum(ge, le)  # float 0/1 mask
@@ -114,9 +126,12 @@ def _iou_tile_kernel(q1_ref, q2_ref, out_ref):
     cx2 = jnp.broadcast_to(x2, (ti, 4, tj))
     cy2 = jnp.broadcast_to(y2, (ti, 4, tj))
 
-    candx = jnp.concatenate([ix, cx1, cx2], axis=1)  # (TI, 24, TJ)
-    candy = jnp.concatenate([iy, cy1, cy2], axis=1)
-    valid_f = jnp.concatenate([iok_f, in12, in21], axis=1)  # float 0/1
+    # assemble all candidates directly at the padded width of 32 sublanes
+    # (24-sublane intermediates trip Mosaic's layout legalization)
+    zpad = jnp.zeros((ti, _NS - _NC, tj), ix.dtype)
+    candx = jnp.concatenate([ix, cx1, cx2, zpad], axis=1)  # (TI, 32, TJ)
+    candy = jnp.concatenate([iy, cy1, cy2, zpad], axis=1)
+    valid_f = jnp.concatenate([iok_f, in12, in21, zpad], axis=1)
 
     nvalid = jnp.sum(valid_f, axis=1)  # (TI, TJ)
     denomv = jnp.maximum(nvalid, 1.0)[:, None, :]
@@ -131,13 +146,6 @@ def _iou_tile_kernel(q1_ref, q2_ref, out_ref):
         relx >= 0, r, jnp.where(rely >= 0, 2.0 - r, -2.0 - r)
     )
     ang = jnp.where(valid_f > 0.5, pseudo, _BIG)
-
-    # pad candidate axis to 32
-    pad = jnp.full((ti, _NS - _NC, tj), _BIG, ang.dtype)
-    zeros = jnp.zeros((ti, _NS - _NC, tj), relx.dtype)
-    ang = jnp.concatenate([ang, pad], axis=1)
-    relx = jnp.concatenate([relx, zeros], axis=1)
-    rely = jnp.concatenate([rely, zeros], axis=1)
 
     # ---- bitonic sort by angle (flip-based partner exchange on axis 1) ----
     lane_f = jax.lax.broadcasted_iota(jnp.int32, (1, _NS, 1), 1).astype(
@@ -207,6 +215,38 @@ def pairwise_quad_iou_pallas(
     n, m = c1.shape[0], c2.shape[0]
     assert n % tile_i == 0 and m % tile_j == 0, (n, m, tile_i, tile_j)
     grid = (n // tile_i, m // tile_j)
+    return _call(c1, c2, grid, tile_i, tile_j, interpret=False)
+
+
+def pairwise_quad_iou_interpret(c1, c2, tile_i: int = 128, tile_j: int = 128):
+    """Interpreter-mode execution (used by the semantics tests)."""
+    n, m = c1.shape[0], c2.shape[0]
+    grid = (n // tile_i, m // tile_j)
+    return _call(c1, c2, grid, tile_i, tile_j, interpret=True)
+
+
+_FUSED_OK: bool | None = None
+
+
+def pairwise_quad_iou_fused(c1, c2):
+    """Pallas kernel with one-time probe + XLA fallback (see STATUS above)."""
+    global _FUSED_OK
+    if _FUSED_OK is None:
+        try:
+            small = jnp.zeros((128, 4, 2), jnp.float32)
+            jax.block_until_ready(pairwise_quad_iou_pallas(small, small))
+            _FUSED_OK = True
+        except Exception:
+            _FUSED_OK = False
+    if _FUSED_OK and c1.shape[0] % 128 == 0 and c2.shape[0] % 128 == 0:
+        return pairwise_quad_iou_pallas(c1, c2)
+    from airv2x_tpu.ops.rotated_iou import pairwise_quad_iou
+
+    return pairwise_quad_iou(c1, c2)
+
+
+def _call(c1, c2, grid, tile_i, tile_j, interpret):
+    n, m = c1.shape[0], c2.shape[0]
     return pl.pallas_call(
         _iou_tile_kernel,
         out_shape=jax.ShapeDtypeStruct((n, m), jnp.float32),
@@ -222,4 +262,5 @@ def pairwise_quad_iou_pallas(
         out_specs=pl.BlockSpec(
             (tile_i, tile_j), lambda i, j: (i, j), memory_space=pltpu.VMEM
         ),
+        interpret=interpret,
     )(c1.astype(jnp.float32), c2.astype(jnp.float32))
