@@ -44,6 +44,10 @@ def make_multiclass_loss(args: dict):
     cls_weight = float(args["cls_weight"])
     reg_coe = float(args["reg"])
     num_class = int(args["num_class"])
+    # default 1.0 keeps the reference's plain-mean objectness BCE; configs may
+    # raise it to speed up obj-score calibration (positives are ~0.1-0.3% of
+    # anchors, so the plain mean learns the prior first)
+    obj_weight = float(args.get("obj_weight", 1.0))
     alpha, gamma = 0.25, 2.0
 
     def loss_fn(output: dict, target: dict, prefix: str = ""):  # noqa: C901
@@ -91,7 +95,7 @@ def make_multiclass_loss(args: dict):
         bce = -(
             pos * jnp.log(obj_sig + 1e-6) + (1 - pos) * jnp.log(1 - obj_sig + 1e-6)
         )
-        obj_loss = jnp.mean(bce)
+        obj_loss = jnp.mean(bce) * obj_weight
 
         total = reg_loss + conf_loss + obj_loss
         return total, {

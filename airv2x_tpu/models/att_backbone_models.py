@@ -21,7 +21,7 @@ from airv2x_tpu.models.point_pillar_models import PointPillarBase
 from airv2x_tpu.models.registry import register_model
 
 
-@register_model("point_pillar_attresnet")
+@register_model("point_pillar_attresnet", "PFA_net", "pfanet")
 class PointPillarAttResNet(PointPillarBase):
     def setup_fusion(self):
         bb = self.args["base_bev_backbone"]

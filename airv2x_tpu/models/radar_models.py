@@ -136,6 +136,53 @@ class RTNHIntermediate(PointPillarBase):
         }
 
 
+@register_model("point_pillar_interf", "point_pillar_InterF")
+class PointPillarInterF(PointPillarBase):
+    """Interaction-at-the-VFE-level LiDAR/radar fusion (twin of
+    point_pillar_InterF.py + interf_modules/Inter_pillar_vfe.interRAL):
+    the two modalities' BEV pillar maps exchange information through a
+    bidirectional gated cross-interaction before fusion."""
+
+    def setup_fusion(self):
+        pv = self.args["pillar_vfe"]
+        pre = self.pre
+        self.radar_vfe = PillarVFE(
+            num_filters=pv["num_filters"],
+            voxel_size=pre["args"]["voxel_size"],
+            lidar_range=pre["cav_lidar_range"],
+            use_norm=pv["use_norm"],
+            with_distance=pv["with_distance"],
+            use_absolute_xyz=pv["use_absolute_xyz"],
+            dtype=self.dtype,
+            name="radar_vfe",
+        )
+        c = pv["num_filters"][-1]
+        self.l2r = nn.Conv(c, (1, 1), dtype=self.dtype, name="interf_l2r")
+        self.r2l = nn.Conv(c, (1, 1), dtype=self.dtype, name="interf_r2l")
+
+    def encode(self, batch, train):
+        lidar = PointPillarL4DR._encode_cloud(
+            self, batch["points"], batch["points_mask"], self.vfe, train
+        )
+        radar = PointPillarL4DR._encode_cloud(
+            self,
+            batch["radar_points"],
+            batch["radar_points_mask"],
+            self.radar_vfe,
+            train,
+        )
+        # bidirectional gated interaction (interRAL :10-37)
+        lidar2 = lidar + radar * nn.sigmoid(self.l2r(radar))
+        radar2 = radar + lidar * nn.sigmoid(self.r2l(lidar))
+        fused = 0.5 * (lidar2 + radar2)
+        return fused * batch["agent_mask"][:, :, None, None, None].astype(
+            fused.dtype
+        )
+
+    def fuse(self, grouped, batch, train):
+        return ego_agent_attention(grouped, batch["agent_mask"]), jnp.asarray(1.0)
+
+
 @register_model("point_pillar_l4dr", "point_pillar_L4DR",
                 "point_pillar_intermediate_lrf")
 class PointPillarL4DR(PointPillarBase):

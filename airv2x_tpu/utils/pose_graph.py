@@ -48,31 +48,50 @@ def refine_agent_poses(
     init_poses: np.ndarray,
     *,
     max_match_dist: float = 3.0,
+    max_yaw_diff: float = 0.5,
     yaw_weight: float = 2.0,
     huber_delta: float = 1.0,
+    rounds: int = 2,
 ):
     """Refine SE(2) agent poses from per-agent box observations.
 
     agent_boxes: list over N agents of (K_i, 3) arrays [cx, cy, yaw] in the
     agent's OWN frame. init_poses: (N, 3) initial ego-frame poses (agent 0
-    is the ego and stays fixed). Returns (N, 3) refined poses.
+    is the ego and stays fixed). Runs ``rounds`` of (match -> optimize) so
+    matches improve as poses do; candidate pairs must also agree in heading
+    (mod pi, within ``max_yaw_diff``) to reject sparse-scene mispairings.
     """
     n = len(agent_boxes)
     if n <= 1:
         return init_poses.copy()
+    poses = init_poses.copy()
+    for _ in range(max(rounds, 1)):
+        poses = _refine_once(
+            agent_boxes, poses, max_match_dist, max_yaw_diff, yaw_weight,
+            huber_delta,
+        )
+    return poses
 
-    # matches are established once under the initial poses
+
+def _refine_once(
+    agent_boxes, init_poses, max_match_dist, max_yaw_diff, yaw_weight,
+    huber_delta,
+):
+    n = len(agent_boxes)
     matches = []  # (i, j, ki, kj)
     for i in range(n):
         for j in range(i + 1, n):
-            ci = _se2_apply(init_poses[i], np.asarray(agent_boxes[i])[:, :2]) if len(
-                agent_boxes[i]
-            ) else np.zeros((0, 2))
-            cj = _se2_apply(init_poses[j], np.asarray(agent_boxes[j])[:, :2]) if len(
-                agent_boxes[j]
-            ) else np.zeros((0, 2))
+            bi = np.asarray(agent_boxes[i])
+            bj = np.asarray(agent_boxes[j])
+            ci = _se2_apply(init_poses[i], bi[:, :2]) if len(bi) else np.zeros((0, 2))
+            cj = _se2_apply(init_poses[j], bj[:, :2]) if len(bj) else np.zeros((0, 2))
             for ki, kj in match_boxes(ci, cj, max_match_dist):
-                matches.append((i, j, ki, kj))
+                dyaw = (bi[ki, 2] + init_poses[i][2]) - (
+                    bj[kj, 2] + init_poses[j][2]
+                )
+                dyaw = abs((dyaw + np.pi / 2) % np.pi - np.pi / 2)  # mod pi
+                if dyaw <= max_yaw_diff:
+                    matches.append((i, j, ki, kj))
     if not matches:
         return init_poses.copy()
 
@@ -102,4 +121,24 @@ def refine_agent_poses(
         f_scale=huber_delta,
         max_nfev=200,
     )
-    return unpack(sol.x)
+    # consensus acceptance: the refined poses must produce at least as many
+    # TIGHT cross-agent agreements (re-matched from scratch at 0.5 m) as the
+    # initial ones — guards against mispaired matches dragging poses away
+    # under heavy noise, where the optimizer happily satisfies wrong pairs.
+    def tight_inliers(poses):
+        cnt = 0
+        for i in range(n):
+            for j in range(i + 1, n):
+                bi = np.asarray(agent_boxes[i])
+                bj = np.asarray(agent_boxes[j])
+                if not len(bi) or not len(bj):
+                    continue
+                ci = _se2_apply(poses[i], bi[:, :2])
+                cj = _se2_apply(poses[j], bj[:, :2])
+                cnt += len(match_boxes(ci, cj, 0.5))
+        return cnt
+
+    refined = unpack(sol.x)
+    if tight_inliers(refined) <= tight_inliers(init_poses):
+        return init_poses.copy()
+    return refined

@@ -74,3 +74,22 @@ def test_mdd_forward_train_and_eval():
         mutable=["batch_stats"],
     )
     assert np.isfinite(float(out_t["diff_loss"]))
+
+
+def test_interf_forward():
+    from tests.test_point_pillar_family import _batch, _hypes
+
+    hypes = _hypes("point_pillar_interf", {})
+    model = build_model(hypes)
+    rng = np.random.default_rng(0)
+    batch = _batch(rng)
+    radar = rng.uniform(-12, 12, (1, 3, 256, 4)).astype(np.float32)
+    radar[..., 2] = rng.uniform(-2, 0, (1, 3, 256))
+    batch["radar_points"] = jnp.asarray(radar)
+    batch["radar_points_mask"] = jnp.ones((1, 3, 256), bool)
+    variables = jax.jit(lambda r, b: model.init(r, b, train=False))(
+        {"params": jax.random.PRNGKey(0), "comm": jax.random.PRNGKey(1)}, batch
+    )
+    out = jax.jit(lambda v, b: model.apply(v, b, train=False))(variables, batch)
+    assert out["psm"].shape == (1, 32, 32, 2)
+    assert np.isfinite(np.asarray(out["psm"])).all()
