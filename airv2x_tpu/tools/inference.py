@@ -24,6 +24,10 @@ def parse_args():
     p.add_argument("--hypes_yaml", type=str, default="")
     p.add_argument("--epoch", type=int, default=0, help="0 = best epoch")
     p.add_argument("--num_scenes", type=int, default=32)
+    p.add_argument(
+        "--obj_threshold", type=float, default=0.0,
+        help="override the config's objectness gate (0 = use config)",
+    )
     p.add_argument("--seed", type=int, default=123)
     return p.parse_args()
 
@@ -80,7 +84,9 @@ def main():
     else:
         print("WARNING: no checkpoint found, evaluating random init")
 
-    tgt = hypes["postprocess"]["target_args"]
+    tgt = dict(hypes["postprocess"]["target_args"])
+    if opt.obj_threshold > 0:
+        tgt["obj_threshold"] = opt.obj_threshold
     lidar_range = jnp.asarray(hypes["preprocess"]["cav_lidar_range"], jnp.float32)
 
     @jax.jit
