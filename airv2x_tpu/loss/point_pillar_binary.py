@@ -65,6 +65,46 @@ def make_binary_loss(args: dict):
     return loss_fn
 
 
+@register_loss("point_pillar_loss_coalign")
+def make_coalign_loss(args: dict):
+    """Detection loss + rotated-IoU regression term on positive anchors
+    (loss/point_pillar_loss_coalign.py twin — the reference computes it with
+    the CUDA iou3d kernel; here it is the same XLA rotated-IoU op used by
+    NMS, so the loss is natively differentiable)."""
+    base = make_binary_loss(args)
+    iou_weight = float(args.get("iou_weight", 1.0))
+
+    def loss_fn(output: dict, target: dict, prefix: str = ""):
+        total, parts = base(output, target, prefix)
+        if "anchors" in target:
+            from airv2x_tpu.ops import geometry as geo
+            from airv2x_tpu.ops.boxes import decode_boxes
+            from airv2x_tpu.ops.rotated_iou import elementwise_quad_iou
+
+            rm = output[f"rm{prefix}"].astype(jnp.float32)
+            b = rm.shape[0]
+            anchors = target["anchors"].reshape(-1, 7)
+            pred = decode_boxes(rm.reshape(b, -1, 7), anchors[None])
+            gt = decode_boxes(
+                target["targets"].reshape(b, -1, 7).astype(jnp.float32),
+                anchors[None],
+            )
+            pc = geo.boxes_to_corners_bev(pred, order="hwl")
+            gc = geo.boxes_to_corners_bev(gt, order="hwl")
+            iou = elementwise_quad_iou(pc, gc)  # (B, N)
+            pos = target["pos_equal_one"].reshape(b, -1)
+            iou_loss = jnp.sum((1.0 - iou) * pos) / jnp.maximum(
+                jnp.sum(pos), 1.0
+            )
+            total = total + iou_weight * iou_loss
+            parts = dict(parts)
+            parts["iou_loss"] = iou_loss
+            parts[f"total_loss{prefix}"] = total
+        return total, parts
+
+    return loss_fn
+
+
 @register_loss("point_pillar_loss_mdd")
 def make_mdd_loss(args: dict):
     """Detection loss + diffusion eps-MSE term (loss/point_pillar_loss_mdd

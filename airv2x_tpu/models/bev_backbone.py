@@ -74,10 +74,14 @@ class BaseBEVBackbone(nn.Module):
 
     def __call__(self, x, train: bool = False):
         """(B, H, W, C) -> dict with per-stage features and fused 2d map."""
+        from airv2x_tpu.parallel.shardings import shard_spatial
+
         ups, multiscale = [], {}
         h0 = x.shape[-3]
+        x = shard_spatial(x)
         for i in range(len(self.stages)):
             x = self.stages[i](x, train)
+            x = shard_spatial(x)
             stride = h0 // x.shape[-3]
             multiscale[f"spatial_features_{stride}x"] = x
             ups.append(self.deblocks[i](x, train) if self.deblocks else x)

@@ -1,0 +1,62 @@
+import jax.numpy as jnp
+import numpy as np
+
+from airv2x_tpu.data.augment import DataAugmentor
+from airv2x_tpu.loss import LOSS_REGISTRY
+
+
+def test_augmentor_geometry_consistency(rng):
+    pts = rng.normal(scale=10, size=(500, 4)).astype(np.float32)
+    boxes = np.array([[5.0, 3.0, -1.0, 1.5, 1.6, 3.9, 0.4]], np.float32)
+    # put one point exactly at the box center
+    pts[0, :3] = boxes[0, :3]
+    aug = DataAugmentor(
+        [
+            {"NAME": "random_world_flip", "ALONG_AXIS_LIST": ["x"]},
+            {"NAME": "random_world_rotation", "WORLD_ROT_ANGLE": [-0.7, 0.7]},
+            {"NAME": "random_world_scaling", "WORLD_SCALE_RANGE": [0.9, 1.1]},
+        ],
+        train=True,
+    )
+    p2, b2 = aug(pts, boxes, rng)
+    # the box-center point must track the box center through all transforms
+    np.testing.assert_allclose(p2[0, :3], b2[0, :3], atol=1e-5)
+    # eval mode is a no-op
+    aug_eval = DataAugmentor([{"NAME": "random_world_flip"}], train=False)
+    p3, b3 = aug_eval(pts, boxes, rng)
+    np.testing.assert_array_equal(p3, pts)
+
+
+def test_coalign_loss_iou_term(rng):
+    from airv2x_tpu.ops.anchors import generate_anchor_grid
+
+    loss_fn = LOSS_REGISTRY["point_pillar_loss_coalign"](
+        {"cls_weight": 1.0, "reg": 2.0, "iou_weight": 1.0}
+    )
+    aargs = {
+        "W": 16, "H": 16, "l": 3.9, "w": 1.6, "h": 1.56, "r": [0, 90],
+        "feature_stride": 2, "vw": 0.4, "vh": 0.4,
+        "cav_lidar_range": [-3.2, -3.2, -3, 3.2, 3.2, 1],
+    }
+    anchors = generate_anchor_grid(aargs)
+    h, w, a = anchors.shape[:3]
+    out = {
+        "psm": jnp.zeros((1, h, w, a)),
+        "rm": jnp.zeros((1, h, w, 7 * a)),
+    }
+    pos = np.zeros((1, h, w, a), np.float32)
+    pos[0, 2, 3, 0] = 1
+    target = {
+        "pos_equal_one": jnp.asarray(pos),
+        "targets": jnp.zeros((1, h, w, a * 7)),
+        "anchors": jnp.asarray(anchors),
+    }
+    # pred == target (zero deltas) -> IoU 1 -> iou_loss 0
+    total0, parts0 = loss_fn(out, target)
+    assert abs(float(parts0["iou_loss"])) < 1e-4
+    # shifted prediction -> iou_loss > 0
+    rm = np.zeros((1, h, w, a, 7), np.float32)
+    rm[0, 2, 3, 0, 0] = 0.5
+    out2 = {"psm": out["psm"], "rm": jnp.asarray(rm.reshape(1, h, w, a * 7))}
+    _, parts1 = loss_fn(out2, target)
+    assert float(parts1["iou_loss"]) > 0.1
