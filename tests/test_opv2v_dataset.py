@@ -1,0 +1,76 @@
+"""OPV2V-format dataset pipeline with a generated fixture."""
+
+import os
+
+import numpy as np
+import yaml
+
+from airv2x_tpu.data.opv2v_dataset import OPV2VDataset
+from airv2x_tpu.data.pcd import write_pcd
+
+
+def _hypes():
+    return {
+        "train_params": {"max_cav": 3},
+        "preprocess": {
+            "cav_lidar_range": [-40, -40, -3, 40, 40, 1],
+            "args": {"voxel_size": [0.4, 0.4, 4]},
+            "max_points": 2048,
+        },
+        "postprocess": {"max_num": 30},
+        "fusion": {"args": {"proj_first": True}},
+    }
+
+
+def _fixture(root, rng):
+    scen = os.path.join(root, "2021_08_16_01_01_01")
+    poses = {"641": [10.0, 5.0, 1.9, 0, 0, 0], "650": [30.0, -5.0, 1.9, 0, 40.0, 0]}
+    for t in ("000068", "000070"):
+        for cav, pose in poses.items():
+            cdir = os.path.join(scen, cav)
+            os.makedirs(cdir, exist_ok=True)
+            meta = {
+                "lidar_pose": list(pose),
+                "ego_speed": 7.5,
+                "vehicles": {
+                    301: {
+                        "location": [20.0, 0.0, 0.4],
+                        "angle": [0, 15.0, 0],
+                        "center": [0.0, 0.0, 0.4],
+                        "extent": [2.2, 1.0, 0.75],
+                    },
+                    302: {
+                        "location": [500.0, 0.0, 0.4],  # out of range
+                        "angle": [0, 0, 0],
+                        "center": [0.0, 0.0, 0.4],
+                        "extent": [2.2, 1.0, 0.75],
+                    },
+                },
+            }
+            with open(os.path.join(cdir, f"{t}.yaml"), "w") as f:
+                yaml.safe_dump(meta, f)
+            pts = rng.normal(scale=15.0, size=(400, 4)).astype(np.float32)
+            pts[:, 2] = rng.uniform(-1.5, 0.5, 400) - 1.9
+            write_pcd(os.path.join(cdir, f"{t}.pcd"), pts)
+            write_pcd(os.path.join(cdir, f"{t}_radar.pcd"), pts[:100])
+    return root
+
+
+def test_opv2v_walk_and_sample(tmp_path, rng):
+    root = _fixture(str(tmp_path), rng)
+    ds = OPV2VDataset(_hypes(), root, train=False, use_radar=True)
+    assert len(ds) == 2
+    batch, gt = ds[0]
+    assert batch["points"].shape == (3, 2048, 4)
+    assert batch["agent_mask"].tolist() == [True, True, False]
+    assert batch["points_mask"][0].sum() > 0
+    assert batch["radar_points_mask"][0].sum() > 0
+    assert batch["prior_encoding"][0, 0] == 7.5
+    # one gt in range (world x=20 -> ego-frame ~(10, -5)), one out
+    assert gt["mask"].sum() == 1
+    box = gt["boxes"][gt["mask"]][0]
+    assert abs(box[0] - 10.0) < 1.0 and abs(box[1] + 5.0) < 1.0
+    # extent 2.2/1.0/0.75 half-dims -> l=4.4, w=2.0, h=1.5 in hwl order
+    assert abs(box[3] - 1.5) < 0.05
+    assert abs(box[4] - 2.0) < 0.05
+    assert abs(box[5] - 4.4) < 0.05
