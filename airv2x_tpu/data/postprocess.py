@@ -44,7 +44,7 @@ def decode_detections(
     num_class: int,
     obj_threshold: float,
     nms_thresh: float,
-    top_k: int = 1024,
+    top_k: int = 512,
 ) -> Detections:
     """Single-sample decode. psm (H, W, A*C), rm (H, W, 7A), obj (H, W, A);
     anchors (H, W, A, 7)."""
@@ -97,7 +97,7 @@ def decode_late_fusion(
     num_class = kw["num_class"]
     obj_threshold = kw["obj_threshold"]
     nms_thresh = kw["nms_thresh"]
-    top_k = kw.get("top_k", 1024)
+    top_k = kw.get("top_k", 512)
 
     l, h, w, a = obj.shape
     flat_anchors = anchors.reshape(-1, 7)

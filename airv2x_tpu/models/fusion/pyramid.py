@@ -37,6 +37,32 @@ def weighted_fuse(feats, scores, agent_mask, aff_to_ego, align_corners=False):
     return jnp.sum(warped_f * wts[..., None], axis=1)
 
 
+def cam_crop_mask(h, w, crop_ratios, dtype=jnp.float32):
+    """Central-crop validity mask for camera-modality agents.
+
+    Twin of pyramid_fuse.py:126-160 (cam_crop_info): a camera agent's BEV
+    response is only trusted inside the central ``dim/ratio - 4`` window
+    (edges are unstable); lidar agents (ratio <= 0) keep the full map.
+
+    crop_ratios: (B, L, 2) [ratio_h, ratio_w] per agent -> (B, L, h, w, 1).
+    """
+    rh = crop_ratios[..., 0]
+    rw = crop_ratios[..., 1]
+    crop_h = jnp.where(rh > 0, h / jnp.maximum(rh, 1e-6) - 4.0, float(h))
+    crop_w = jnp.where(rw > 0, w / jnp.maximum(rw, 1e-6) - 4.0, float(w))
+    # reference: start = H//2 - crop//2, end = H//2 + crop//2 (int floors)
+    sh = jnp.floor(h // 2 - jnp.floor(crop_h / 2))
+    eh = jnp.floor(h // 2 + jnp.floor(crop_h / 2))
+    sw = jnp.floor(w // 2 - jnp.floor(crop_w / 2))
+    ew = jnp.floor(w // 2 + jnp.floor(crop_w / 2))
+    ys = jnp.arange(h, dtype=jnp.float32)
+    xs = jnp.arange(w, dtype=jnp.float32)
+    in_h = (ys[None, None, :] >= sh[..., None]) & (ys[None, None, :] < eh[..., None])
+    in_w = (xs[None, None, :] >= sw[..., None]) & (xs[None, None, :] < ew[..., None])
+    mask = in_h[..., :, None] & in_w[..., None, :]
+    return mask.astype(dtype)[..., None]
+
+
 class PyramidFusion(nn.Module):
     """ResNeXt pyramid + per-level occupancy heads + weighted warp-fuse."""
 
@@ -70,9 +96,12 @@ class PyramidFusion(nn.Module):
 
     def forward_collab(
         self, x, agent_mask, pairwise_t, discrete_ratio, downsample_rate,
-        train: bool = False,
+        train: bool = False, cam_crop_ratios=None,
     ):
         """x: (B, L, H, W, C); pairwise_t: (B, L, 4, 4) cav->ego transforms.
+        cam_crop_ratios: optional (B, L, 2) per-agent [ratio_h, ratio_w]
+        camera crop ratios (<= 0 for lidar agents) — twin of the reference's
+        cam_crop_info dict keyed by modality.
 
         Returns (fused (B, Hf, Wf, Cf), [occ maps (B*L, h_i, w_i, 1)]).
         """
@@ -88,6 +117,10 @@ class PyramidFusion(nn.Module):
             score = nn.sigmoid(occ) + 1e-4
             fg = f.reshape((b, l) + f.shape[1:])
             sg = score.reshape((b, l) + score.shape[1:])
+            if cam_crop_ratios is not None:
+                sg = sg * cam_crop_mask(
+                    fg.shape[2], fg.shape[3], cam_crop_ratios, sg.dtype
+                )
             aff = normalized_pairwise_affine(
                 pairwise_t, fg.shape[2], fg.shape[3], discrete_ratio,
                 downsample_rate,

@@ -90,11 +90,51 @@ class Communication(nn.Module):
         return comm_mask, rate
 
 
+class MultiHeadAgentAttention(nn.Module):
+    """Projected multi-head per-pixel agent attention (twin of the
+    where2comm_attn.py variant's attention block — the plain path uses the
+    unprojected ego-query attention of fusion/common.py)."""
+
+    dim: int
+    heads: int = 8
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, agent_mask):
+        # x: (B, L, H, W, C) -> (B, H, W, C) at the ego query
+        from airv2x_tpu.models.fusion.common import masked_softmax
+
+        c = self.dim
+        if c % self.heads:
+            raise ValueError(
+                f"where2com_fusion.attn_heads={self.heads} must divide the "
+                f"feature dim {c} at every fused scale"
+            )
+        dh = c // self.heads
+        qkv = nn.Dense(3 * c, use_bias=False, dtype=self.dtype)(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+
+        def split(t):
+            b, l, h, w, _ = t.shape
+            return t.reshape(b, l, h, w, self.heads, dh)
+
+        q, k, v = map(split, (q, k, v))
+        scores = jnp.einsum("bhwmc,blhwmc->blhwm", q[:, 0], k) / jnp.sqrt(
+            jnp.asarray(dh, x.dtype)
+        )
+        attn = masked_softmax(scores, agent_mask[:, :, None, None, None], axis=1)
+        out = jnp.einsum("blhwm,blhwmc->bhwmc", attn, v)
+        b, h, w = out.shape[:3]
+        return nn.Dense(c, dtype=self.dtype)(out.reshape(b, h, w, c))
+
+
 class Where2commFusion(nn.Module):
     """Multi-scale (or single-scale) confidence-gated attention fusion.
 
     Call with the shared backbone module so stage weights are reused, exactly
     like the reference passes ``self.backbone`` into the fusion net.
+    ``attn_heads > 0`` switches the per-pixel fusion to the projected
+    multi-head variant (where2comm_attn.py twin).
     """
 
     multi_scale: bool = True
@@ -103,16 +143,20 @@ class Where2commFusion(nn.Module):
     smooth: bool = True
     k_size: int = 5
     c_sigma: float = 1.0
+    attn_heads: int = 0
     dtype: Any = jnp.float32
 
-    def setup(self):
-        self.communication = Communication(
-            threshold=self.threshold,
-            smooth=self.smooth,
-            k_size=self.k_size,
-            c_sigma=self.c_sigma,
-        )
+    def _fuse(self, grouped, agent_mask, name):
+        if self.attn_heads > 0:
+            return MultiHeadAgentAttention(
+                dim=grouped.shape[-1],
+                heads=self.attn_heads,
+                dtype=self.dtype,
+                name=name,
+            )(grouped, agent_mask)
+        return ego_agent_attention(grouped, agent_mask)
 
+    @nn.compact
     def __call__(self, x, psm, agent_mask, backbone=None, *, train: bool = False):
         """x: (B, L, H, W, C) raw BEV features (multi_scale) or 2d features;
         psm: (B, L, H', W', AC) single-agent confidence logits.
@@ -124,9 +168,13 @@ class Where2commFusion(nn.Module):
         if self.fully:
             comm_mask, rate = jnp.ones(x.shape[:4], x.dtype), jnp.asarray(1.0)
         else:
-            comm_mask, rate = self.communication(
-                psm, agent_mask, train=train
-            )
+            comm_mask, rate = Communication(
+                threshold=self.threshold,
+                smooth=self.smooth,
+                k_size=self.k_size,
+                c_sigma=self.c_sigma,
+                name="communication",
+            )(psm, agent_mask, train=train)
 
         if self.multi_scale:
             assert backbone is not None
@@ -142,7 +190,7 @@ class Where2commFusion(nn.Module):
                         )
                     cur = cur * m.reshape((b * l,) + cur.shape[1:3] + (1,))
                 grouped = cur.reshape((b, l) + cur.shape[1:])
-                fused = ego_agent_attention(grouped, agent_mask)
+                fused = self._fuse(grouped, agent_mask, f"attn_{i}")
                 ups.append(backbone.deblock(i, fused, train))
             fused = backbone.finish(ups, train)
         else:
@@ -150,6 +198,6 @@ class Where2commFusion(nn.Module):
             if m.shape[-2:] != x.shape[2:4]:
                 m = jax.image.resize(m, m.shape[:2] + x.shape[2:4], "bilinear")
             gated = x * m[..., None]
-            fused = ego_agent_attention(gated, agent_mask)
+            fused = self._fuse(gated, agent_mask, "attn")
 
         return fused, rate

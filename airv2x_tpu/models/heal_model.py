@@ -103,6 +103,9 @@ class Airv2xHEAL(nn.Module):
             discrete_ratio,
             downsample,
             train,
+            # heterogeneous camera agents only trust the central BEV window
+            # (pyramid_fuse.py cam_crop_info) — (B, L, 2) ratios if present
+            cam_crop_ratios=batch.get("cam_crop_ratios"),
         )
         if self.shrink_flag:
             fused = self.shrink_conv(fused, train)

@@ -70,6 +70,9 @@ class Airv2xWhere2comm(nn.Module):
             smooth=gauss is not None,
             k_size=gauss["k_size"] if gauss else 5,
             c_sigma=gauss["c_sigma"] if gauss else 1.0,
+            # where2comm_attn.py variant: projected multi-head per-pixel
+            # attention instead of the unprojected ego-query fusion.
+            attn_heads=int(w2c.get("attn_heads", 0)),
             dtype=self.dtype,
         )
         self.multi_scale = w2c["multi_scale"]

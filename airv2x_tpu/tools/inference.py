@@ -104,6 +104,7 @@ def main():
             num_class=hypes["num_class"],
             obj_threshold=tgt["obj_threshold"],
             nms_thresh=hypes["postprocess"]["nms_thresh"],
+            top_k=int(hypes["postprocess"].get("nms_top_k", 512)),
         )
         return det, out.get("comm_rate", jnp.asarray(1.0))
 

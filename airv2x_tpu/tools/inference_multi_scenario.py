@@ -25,6 +25,8 @@ def parse_args():
     p.add_argument("--epoch", type=int, default=0)
     p.add_argument("--num_scenes", type=int, default=16, help="synthetic fallback")
     p.add_argument("--save_vis", action="store_true")
+    p.add_argument("--vis_3d", action="store_true",
+                   help="also render a perspective 3D view per frame")
     p.add_argument("--seed", type=int, default=123)
     return p.parse_args()
 
@@ -112,6 +114,7 @@ def main():
             num_class=hypes["num_class"],
             obj_threshold=tgt["obj_threshold"],
             nms_thresh=hypes["postprocess"]["nms_thresh"],
+            top_k=int(hypes["postprocess"].get("nms_top_k", 512)),
         )
         return det, out.get("comm_rate", jnp.asarray(1.0))
 
@@ -143,6 +146,20 @@ def main():
                 det_c, gt_c, pts, lidar_range,
                 save_path=os.path.join(vis_dir, f"frame_{i:04d}.png"),
             )
+            if opt.vis_3d:
+                from airv2x_tpu.visualization.canvas_3d import Canvas3D
+
+                c3d = Canvas3D()
+                c3d.draw_points(pts[:, :3], (160, 160, 160))
+                det3d = np.asarray(det.corners)[keep]
+                if det3d.size:
+                    c3d.draw_boxes(det3d, (255, 60, 60))
+                gt3d = np.asarray(
+                    geo.boxes_to_corners_3d(jnp.asarray(gt_boxes), order="hwl")
+                )
+                if gt3d.size:
+                    c3d.draw_boxes(gt3d, (60, 255, 60))
+                c3d.save(os.path.join(vis_dir, f"frame3d_{i:04d}.png"))
 
     # combine buckets (combine_stat_by_scenarios :346)
     combined = new_result_stat()

@@ -107,7 +107,7 @@ def build_bench(n_scenes: int):
                 num_class=hypes["num_class"],
                 obj_threshold=tgt["obj_threshold"],
                 nms_thresh=hypes["postprocess"]["nms_thresh"],
-                top_k=1024,
+                top_k=int(os.environ.get("BENCH_TOPK", "512")),
             )
             return acc + jnp.sum(det.mask) + jnp.sum(det.scores) * 1e-6, ()
 

@@ -189,6 +189,10 @@ VARIANTS = {
 }
 
 
+# where2comm_attn.py twin: multi-head projected per-pixel attention fusion
+VARIANTS["airv2x_where2comm"] = {"where2com_fusion": {"attn_heads": 4}}
+
+
 @pytest.mark.parametrize("name", sorted(VARIANTS))
 def test_model_forward(name):
     hypes = _patch(_tiny_hypes(), name, VARIANTS[name])
@@ -220,3 +224,40 @@ def test_registry_contents():
     for name in VARIANTS:
         assert name in MODEL_REGISTRY
     assert "airv2x_where2comm" in MODEL_REGISTRY
+
+
+def test_cam_crop_mask_semantics():
+    """pyramid_fuse cam_crop_info twin: camera agents keep only the central
+    H/ratio - 4 window; lidar agents (ratio <= 0) keep everything."""
+    import jax.numpy as jnp
+
+    from airv2x_tpu.models.fusion.pyramid import cam_crop_mask
+
+    ratios = jnp.array([[[0.0, 0.0], [2.0, 2.0]]])  # lidar, camera
+    m = np.asarray(cam_crop_mask(32, 32, ratios))[0, :, :, :, 0]
+    assert m[0].min() == 1.0  # lidar agent untouched
+    # camera: crop dim = 32/2 - 4 = 12 -> rows [10, 22)
+    assert m[1].sum() == 12 * 12
+    assert m[1, 16, 16] == 1.0 and m[1, 0, 0] == 0.0
+    assert m[1, 10, 10] == 1.0 and m[1, 9, 10] == 0.0 and m[1, 22, 10] == 0.0
+
+
+def test_heal_forward_with_cam_crop():
+    hypes = _patch(_tiny_hypes(), "airv2x_heal", VARIANTS["airv2x_heal"])
+    model = build_model(hypes)
+    layout = SlotLayout.from_args(hypes["model"]["args"])
+    rng = np.random.default_rng(3)
+    batch, _ = make_batch(
+        rng, layout, batch_size=1, num_objects=4, points_per_agent=1024,
+        lidar_range=hypes["preprocess"]["cav_lidar_range"],
+        max_boxes=hypes["postprocess"]["max_num"], pts_per_box=40,
+    )
+    L = batch["agent_mask"].shape[1]
+    batch["cam_crop_ratios"] = np.zeros((1, L, 2), np.float32)
+    batch["cam_crop_ratios"][:, 1:] = 2.0  # non-ego agents camera-cropped
+    batch = jax.tree.map(jnp.asarray, batch)
+    variables = jax.jit(lambda r, b: model.init(r, b, train=False))(
+        {"params": jax.random.PRNGKey(0), "comm": jax.random.PRNGKey(1)}, batch
+    )
+    out = jax.jit(lambda v, b: model.apply(v, b, train=False))(variables, batch)
+    assert np.isfinite(np.asarray(out["psm"])).all()
