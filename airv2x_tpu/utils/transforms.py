@@ -44,6 +44,20 @@ def pose_to_world(pose) -> np.ndarray:
     return T
 
 
+def world_to_pose(T: np.ndarray):
+    """Inverse of :func:`pose_to_world`: 4x4 frame->world transform back to
+    ``[x, y, z, roll, yaw, pitch]`` degrees (contract of reference
+    ``tfm_to_pose``, transformation_utils.py:109)."""
+    T = np.asarray(T, dtype=np.float64)
+    yaw = np.degrees(np.arctan2(T[1, 0], T[0, 0]))
+    roll = np.degrees(np.arctan2(-T[2, 1], T[2, 2]))
+    pitch = np.degrees(
+        np.arctan2(T[2, 0], np.sqrt(T[2, 1] ** 2 + T[2, 2] ** 2))
+    )
+    x, y, z = T[:3, 3]
+    return [float(x), float(y), float(z), float(roll), float(yaw), float(pitch)]
+
+
 def pose_a_to_b(pose_a, pose_b) -> np.ndarray:
     """4x4 transform taking points in frame ``a`` to frame ``b`` (T_b_a).
 

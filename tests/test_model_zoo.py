@@ -261,3 +261,48 @@ def test_heal_forward_with_cam_crop():
     )
     out = jax.jit(lambda v, b: model.apply(v, b, train=False))(variables, batch)
     assert np.isfinite(np.asarray(out["psm"])).all()
+
+
+@pytest.mark.parametrize("variant", ["identity", "adapterconv", "adapterfc",
+                                     "adapterconvnext", "adapterdsa"])
+def test_adapter_variants(variant):
+    from airv2x_tpu.models.fusion.adapter import Adapter
+
+    cfg = {
+        "core_method": variant,
+        "args": {
+            "in_channels": 16,
+            "out_channels": 16,
+            "in_cav_lidar_range": [-19.2, -19.2, -3, 19.2, 19.2, 1],
+            "out_cav_lidar_range": [-19.2, -19.2, -3, 19.2, 19.2, 1],
+            "in_feature_shape": [24, 24],
+            "out_feature_shape": [24, 24],
+            "submodule_args": {"dim": 16, "depth": 1, "n_layers": 1,
+                               "num_heads": 4, "num_points": 2},
+        },
+    }
+    mod = Adapter(cfg=cfg)
+    x = jnp.asarray(np.random.default_rng(0).normal(size=(2, 24, 24, 16)),
+                    jnp.float32)
+    v = mod.init(jax.random.PRNGKey(0), x)
+    y = mod.apply(v, x)
+    assert y.shape == (2, 24, 24, 16)
+    assert np.isfinite(np.asarray(y)).all()
+
+
+def test_adapter_dsa_zero_init_near_query():
+    """With zero-initialized offset/weight kernels the DSA output should be
+    finite and reference-grid driven (offsets come only from the ring bias)."""
+    from airv2x_tpu.models.fusion.adapter import DSALayer
+
+    layer = DSALayer(out_channels=16, num_heads=4, num_points=2)
+    q = jnp.asarray(np.random.default_rng(1).normal(size=(1, 36, 16)),
+                    jnp.float32)
+    vmap_ = jnp.asarray(np.random.default_rng(2).normal(size=(1, 6, 6, 16)),
+                        jnp.float32)
+    v = layer.init(jax.random.PRNGKey(0), q, vmap_, (6, 6))
+    y = layer.apply(v, q, vmap_, (6, 6))
+    assert y.shape == q.shape
+    assert np.isfinite(np.asarray(y)).all()
+    # residual connection: output differs from query (value samples added)
+    assert not np.allclose(np.asarray(y), np.asarray(q))
