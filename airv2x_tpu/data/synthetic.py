@@ -46,8 +46,13 @@ def make_scene(
     lidar_range=(-140.8, -40, -3, 140.8, 40, 1),
     max_boxes: int = 100,
     pts_per_box: int = 120,
+    radar_points_per_agent: int = 0,
 ):
-    """Build one sample. Returns (batch_arrays, gt dict) — all numpy."""
+    """Build one sample. Returns (batch_arrays, gt dict) — all numpy.
+
+    ``radar_points_per_agent > 0`` adds a sparse 4D-radar cloud per agent
+    (``radar_points`` / ``radar_points_mask``) for the V2X-R model families.
+    """
     num_agents = num_agents or {"vehicle": 2, "rsu": 1, "drone": 1}
     L = layout.total
     n = points_per_agent
@@ -130,6 +135,21 @@ def make_scene(
         "pairwise_t_full": pairwise_t_full,
         "prior_encoding": prior,
     }
+    if radar_points_per_agent > 0:
+        nr = radar_points_per_agent
+        radar = np.zeros((L, nr, 4), np.float32)
+        radar_mask = np.zeros((L, nr), bool)
+        for slot in range(L):
+            src = points_mask[slot].nonzero()[0]
+            if not agent_mask[slot] or len(src) == 0:
+                continue
+            take = min(nr, max(1, len(src) // 8))  # radar is ~8x sparser
+            sel = rng.choice(src, take, replace=len(src) < take)
+            radar[slot, :take] = points[slot, sel]
+            radar[slot, :take, :3] += rng.normal(0, 0.15, (take, 3))  # noisier
+            radar_mask[slot, :take] = True
+        batch["radar_points"] = radar
+        batch["radar_points_mask"] = radar_mask
     gt = {"boxes": boxes, "mask": box_mask, "classes": classes}
     return batch, gt
 

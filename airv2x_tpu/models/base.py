@@ -46,6 +46,8 @@ class SlotLayout:
     @classmethod
     def from_args(cls, args: dict) -> "SlotLayout":
         max_cav = args["max_cav"]
+        if not isinstance(max_cav, dict):  # OPV2V-style scalar: all vehicles
+            return cls(counts=(int(max_cav), 0, 0))
         collab = args.get("collaborators", list(AGENT_TYPES))
         counts = tuple(
             int(max_cav.get(t, 0)) if t in collab else 0 for t in AGENT_TYPES
@@ -99,7 +101,16 @@ class HeteroLidarEncoder(nn.Module):
             for t in AGENT_TYPES
             if self.layout.counts[AGENT_TYPES.index(t)]
         )
-        if any_lidar:
+        # sort-free encoder (ops/fast_pillars.py) for single-PFN-layer
+        # configs: ~4 ms vs ~21 ms at 120k pts. Opt out with
+        # preprocess.args.fast_pillars: false.
+        fast = bool(pre["args"].get("fast_pillars", True)) and all(
+            len(self.args[t]["lidar"]["pillar_vfe"]["num_filters"]) == 1
+            for t in AGENT_TYPES
+            if self.layout.counts[AGENT_TYPES.index(t)]
+            and "lidar" in self.args[t].get("modalities", [])
+        )
+        if any_lidar and not fast:
             flat_pts = pts.reshape((b * l,) + pts.shape[2:])
             flat_mask = batch["points_mask"].reshape((b * l,) + pts.shape[2:3])
             pil = pillarize_batch(
@@ -131,28 +142,48 @@ class HeteroLidarEncoder(nn.Module):
             modal_bevs = []
             if "lidar" in modalities:
                 cfg = self.args[t]["lidar"]
-                vfe = PillarVFE(
-                    num_filters=cfg["pillar_vfe"]["num_filters"],
-                    voxel_size=cfg["voxel_size"],
-                    lidar_range=cfg["lidar_range"],
-                    use_norm=cfg["pillar_vfe"]["use_norm"],
-                    with_distance=cfg["pillar_vfe"]["with_distance"],
-                    use_absolute_xyz=cfg["pillar_vfe"]["use_absolute_xyz"],
-                    dtype=self.dtype,
-                    name=f"{t}_pillar_vfe",
-                )
-                # PillarVFE is pointwise over pillars, so the (B*n_t) agent
-                # axis rides along as a leading batch dim — no vmap needed.
-                pf = vfe(
-                    slice_flat(voxels),
-                    slice_flat(npts),
-                    slice_flat(coords),
-                    slice_flat(pmask),
-                    train,
-                )
-                bev = scatter_pillars_to_bev_batch(
-                    pf, slice_flat(coords), slice_flat(pmask), ny=ny, nx=nx
-                )  # (B*n_t, ny, nx, C)
+                if fast:
+                    from airv2x_tpu.ops.fast_pillars import FastPillarBEV
+
+                    bev = FastPillarBEV(
+                        num_filters=cfg["pillar_vfe"]["num_filters"],
+                        voxel_size=voxel_size,
+                        lidar_range=lidar_range,
+                        use_norm=cfg["pillar_vfe"]["use_norm"],
+                        with_distance=cfg["pillar_vfe"]["with_distance"],
+                        use_absolute_xyz=cfg["pillar_vfe"]["use_absolute_xyz"],
+                        offset_voxel_size=cfg["voxel_size"],
+                        offset_lidar_range=cfg["lidar_range"],
+                        dtype=self.dtype,
+                        name=f"{t}_pillar_vfe",
+                    )(
+                        slice_flat(pts),
+                        slice_flat(batch["points_mask"]),
+                        train,
+                    )  # (B*n_t, ny, nx, C)
+                else:
+                    vfe = PillarVFE(
+                        num_filters=cfg["pillar_vfe"]["num_filters"],
+                        voxel_size=cfg["voxel_size"],
+                        lidar_range=cfg["lidar_range"],
+                        use_norm=cfg["pillar_vfe"]["use_norm"],
+                        with_distance=cfg["pillar_vfe"]["with_distance"],
+                        use_absolute_xyz=cfg["pillar_vfe"]["use_absolute_xyz"],
+                        dtype=self.dtype,
+                        name=f"{t}_pillar_vfe",
+                    )
+                    # PillarVFE is pointwise over pillars, so the (B*n_t)
+                    # agent axis rides along as a leading batch dim.
+                    pf = vfe(
+                        slice_flat(voxels),
+                        slice_flat(npts),
+                        slice_flat(coords),
+                        slice_flat(pmask),
+                        train,
+                    )
+                    bev = scatter_pillars_to_bev_batch(
+                        pf, slice_flat(coords), slice_flat(pmask), ny=ny, nx=nx
+                    )  # (B*n_t, ny, nx, C)
                 modal_bevs.append(bev)
 
             if "cam" in modalities:

@@ -45,6 +45,46 @@ class PFNLayer(nn.Module):
         return jnp.concatenate([x, rep], axis=-1)
 
 
+def augment_pillar_points(
+    voxels,
+    num_points,
+    coords,
+    *,
+    voxel_size,
+    lidar_range,
+    use_absolute_xyz=True,
+    with_distance=False,
+    dtype=jnp.float32,
+):
+    """The 10-dim per-point augmentation shared by all pillar encoders
+    (airv2x_pillar_vfe.py:96-130): raw xyzi + cluster offset + center offset
+    (+ optional distance). Returns (feats (P, K, F'), point_mask (P, K))."""
+    k = voxels.shape[-2]
+    pts = voxels.astype(dtype)
+    cnt = jnp.maximum(num_points, 1).astype(dtype)[..., None, None]
+    point_mask = jnp.arange(k)[None, :] < num_points[..., None]
+
+    mean = jnp.sum(
+        jnp.where(point_mask[..., None], pts[..., :3], 0.0), axis=-2, keepdims=True
+    ) / cnt
+    f_cluster = pts[..., :3] - mean
+
+    vx, vy, vz = voxel_size
+    x0, y0, z0 = lidar_range[:3]
+    cx = coords[..., 2, None].astype(dtype) * vx + (vx / 2 + x0)
+    cy = coords[..., 1, None].astype(dtype) * vy + (vy / 2 + y0)
+    cz = coords[..., 0, None].astype(dtype) * vz + (vz / 2 + z0)
+    f_center = jnp.stack(
+        [pts[..., 0] - cx, pts[..., 1] - cy, pts[..., 2] - cz], axis=-1
+    )
+
+    feats = [pts if use_absolute_xyz else pts[..., 3:], f_cluster, f_center]
+    if with_distance:
+        feats.append(jnp.linalg.norm(pts[..., :3], axis=-1, keepdims=True))
+    x = jnp.concatenate(feats, axis=-1)
+    return jnp.where(point_mask[..., None], x, 0.0), point_mask
+
+
 class PillarVFE(nn.Module):
     """(P, K, 4) pillars -> (P, C) pillar features."""
 
@@ -60,32 +100,16 @@ class PillarVFE(nn.Module):
     def __call__(self, voxels, num_points, coords, pillar_mask, train: bool = False):
         """voxels (P, K, 4), num_points (P,), coords (P, 3) zyx,
         pillar_mask (P,) -> (P, num_filters[-1])."""
-        k = voxels.shape[-2]
-        pts = voxels.astype(self.dtype)
-        cnt = jnp.maximum(num_points, 1).astype(self.dtype)[..., None, None]
-        point_mask = (
-            jnp.arange(k)[None, :] < num_points[..., None]
-        )  # (P, K)
-
-        mean = jnp.sum(
-            jnp.where(point_mask[..., None], pts[..., :3], 0.0), axis=-2, keepdims=True
-        ) / cnt
-        f_cluster = pts[..., :3] - mean
-
-        vx, vy, vz = self.voxel_size
-        x0, y0, z0 = self.lidar_range[:3]
-        cx = coords[..., 2, None].astype(self.dtype) * vx + (vx / 2 + x0)
-        cy = coords[..., 1, None].astype(self.dtype) * vy + (vy / 2 + y0)
-        cz = coords[..., 0, None].astype(self.dtype) * vz + (vz / 2 + z0)
-        f_center = jnp.stack(
-            [pts[..., 0] - cx, pts[..., 1] - cy, pts[..., 2] - cz], axis=-1
+        x, point_mask = augment_pillar_points(
+            voxels,
+            num_points,
+            coords,
+            voxel_size=self.voxel_size,
+            lidar_range=self.lidar_range,
+            use_absolute_xyz=self.use_absolute_xyz,
+            with_distance=self.with_distance,
+            dtype=self.dtype,
         )
-
-        feats = [pts if self.use_absolute_xyz else pts[..., 3:], f_cluster, f_center]
-        if self.with_distance:
-            feats.append(jnp.linalg.norm(pts[..., :3], axis=-1, keepdims=True))
-        x = jnp.concatenate(feats, axis=-1)
-        x = jnp.where(point_mask[..., None], x, 0.0)
 
         filters = list(self.num_filters)
         for i, out_c in enumerate(filters):

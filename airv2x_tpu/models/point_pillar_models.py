@@ -26,6 +26,7 @@ from airv2x_tpu.models.fusion.when2com import When2comFusion
 from airv2x_tpu.models.fusion.where2comm import Where2commFusion
 from airv2x_tpu.models.nn import DownsampleConv, NaiveCompressor
 from airv2x_tpu.models.pillar_vfe import PillarVFE
+from airv2x_tpu.ops.fast_pillars import FastPillarBEV
 from airv2x_tpu.models.registry import register_model
 from airv2x_tpu.ops.scatter import scatter_pillars_to_bev_batch
 from airv2x_tpu.ops.voxelize import pillarize_batch
@@ -47,15 +48,33 @@ class PointPillarBase(nn.Module):
         self.pre = pre
 
         pv = args["pillar_vfe"]
-        self.vfe = PillarVFE(
-            num_filters=pv["num_filters"],
-            voxel_size=pre["args"]["voxel_size"],
-            lidar_range=pre["cav_lidar_range"],
-            use_norm=pv["use_norm"],
-            with_distance=pv["with_distance"],
-            use_absolute_xyz=pv["use_absolute_xyz"],
-            dtype=self.dtype,
+        # sort-free encoder for single-PFN-layer configs (ops/fast_pillars.py);
+        # models needing per-voxel 3D features (RTNH) force the classic path
+        self.fast_pillars = (
+            bool(pre["args"].get("fast_pillars", True))
+            and len(pv["num_filters"]) == 1
+            and not getattr(self, "_force_classic_vfe", False)
         )
+        if self.fast_pillars:
+            self.vfe = FastPillarBEV(
+                num_filters=pv["num_filters"],
+                voxel_size=pre["args"]["voxel_size"],
+                lidar_range=pre["cav_lidar_range"],
+                use_norm=pv["use_norm"],
+                with_distance=pv["with_distance"],
+                use_absolute_xyz=pv["use_absolute_xyz"],
+                dtype=self.dtype,
+            )
+        else:
+            self.vfe = PillarVFE(
+                num_filters=pv["num_filters"],
+                voxel_size=pre["args"]["voxel_size"],
+                lidar_range=pre["cav_lidar_range"],
+                use_norm=pv["use_norm"],
+                with_distance=pv["with_distance"],
+                use_absolute_xyz=pv["use_absolute_xyz"],
+                dtype=self.dtype,
+            )
         bb = args["base_bev_backbone"]
         self.backbone = BaseBEVBackbone(
             layer_nums=bb["layer_nums"],
@@ -102,6 +121,12 @@ class PointPillarBase(nn.Module):
         b, l = pts.shape[:2]
         flat_pts = pts.reshape((b * l,) + pts.shape[2:])
         flat_mask = batch["points_mask"].reshape((b * l,) + pts.shape[2:3])
+        if self.fast_pillars:
+            bev = self.vfe(flat_pts, flat_mask, train)
+            bev = bev.reshape((b, l) + bev.shape[1:])
+            return bev * batch["agent_mask"][:, :, None, None, None].astype(
+                bev.dtype
+            )
         pil = pillarize_batch(
             flat_pts,
             flat_mask,

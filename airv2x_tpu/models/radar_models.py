@@ -86,6 +86,8 @@ class RadarDenseBackbone(nn.Module):
 class RTNHIntermediate(PointPillarBase):
     """Radar dense-voxel backbone + attention collaboration."""
 
+    _force_classic_vfe = True  # needs per-voxel features on the 3D grid
+
     def setup_fusion(self):
         rcfg = self.args.get("rtnh", {})
         self.radar_backbone = RadarDenseBackbone(
@@ -136,48 +138,130 @@ class RTNHIntermediate(PointPillarBase):
         }
 
 
+class InterRAL(nn.Module):
+    """Pillar-level LiDAR<->radar cross attention (twin of
+    interf_modules/Inter_pillar_vfe.interRAL :10-37): per pillar, lidar
+    points query the radar points sharing that cell; q/k projections share
+    weights, attention is double-normalized (softmax over radar points then
+    re-normalized over lidar points), the residual passes through a BN'd
+    transform, and a max over points yields the pillar feature."""
+
+    channels: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x_aug, x_pmask, y_aug, y_pmask, train: bool = False):
+        """x_aug (..., P, K, F) lidar augmented points; y_aug (..., P, Kr, F)
+        radar points of the same cells; *_pmask point validity ->
+        (..., P, channels)."""
+        from airv2x_tpu.models.fusion.common import masked_softmax
+        from airv2x_tpu.models.nn import MaskedBatchNorm
+
+        lin = nn.Dense(self.channels, dtype=self.dtype, name="shared_linear")
+        x = lin(x_aug)
+        y = lin(y_aug)
+        qk = nn.Dense(
+            self.channels // 16, use_bias=False, dtype=self.dtype, name="qk_conv"
+        )  # q_conv.weight = k_conv.weight in the reference (:16)
+        q = qk(x)
+        k = qk(y)
+        v = nn.Dense(self.channels, dtype=self.dtype, name="v_conv")(y)
+
+        energy = jnp.einsum("...kc,...jc->...kj", q, k)
+        attn = masked_softmax(energy, y_pmask[..., None, :], axis=-1)
+        attn = attn / (1e-9 + jnp.sum(attn, axis=-2, keepdims=True))
+        y_r = jnp.einsum("...kj,...jc->...kc", attn, v)
+
+        t = nn.Dense(self.channels, dtype=self.dtype, name="trans_conv")(x - y_r)
+        t = nn.relu(MaskedBatchNorm(dtype=self.dtype)(t, x_pmask, train))
+        x = x + t
+
+        neg = jnp.asarray(-1e9, x.dtype)
+        x = jnp.where(x_pmask[..., None], x, neg)
+        out = jnp.max(x, axis=-2)
+        return jnp.where(out <= neg / 2, 0.0, out)
+
+
 @register_model("point_pillar_interf", "point_pillar_InterF")
 class PointPillarInterF(PointPillarBase):
     """Interaction-at-the-VFE-level LiDAR/radar fusion (twin of
     point_pillar_InterF.py + interf_modules/Inter_pillar_vfe.interRAL):
-    the two modalities' BEV pillar maps exchange information through a
-    bidirectional gated cross-interaction before fusion."""
+    lidar and radar are pillarized on the shared grid, pillars of the same
+    cell are aligned, and interRAL cross-attention replaces the PFN."""
+
+    _force_classic_vfe = True  # interRAL consumes raw pillar point tensors
 
     def setup_fusion(self):
         pv = self.args["pillar_vfe"]
-        pre = self.pre
-        self.radar_vfe = PillarVFE(
-            num_filters=pv["num_filters"],
-            voxel_size=pre["args"]["voxel_size"],
-            lidar_range=pre["cav_lidar_range"],
-            use_norm=pv["use_norm"],
-            with_distance=pv["with_distance"],
-            use_absolute_xyz=pv["use_absolute_xyz"],
-            dtype=self.dtype,
-            name="radar_vfe",
+        self.inter_ral = InterRAL(
+            channels=pv["num_filters"][-1], dtype=self.dtype, name="inter_ral"
         )
-        c = pv["num_filters"][-1]
-        self.l2r = nn.Conv(c, (1, 1), dtype=self.dtype, name="interf_l2r")
-        self.r2l = nn.Conv(c, (1, 1), dtype=self.dtype, name="interf_r2l")
 
     def encode(self, batch, train):
-        lidar = PointPillarL4DR._encode_cloud(
-            self, batch["points"], batch["points_mask"], self.vfe, train
+        import jax
+
+        from airv2x_tpu.models.pillar_vfe import augment_pillar_points
+
+        pre = self.pre
+        lidar_range = pre["cav_lidar_range"]
+        voxel_size = pre["args"]["voxel_size"]
+        grid = tuple(
+            int(round((lidar_range[3 + i] - lidar_range[i]) / voxel_size[i]))
+            for i in range(3)
         )
-        radar = PointPillarL4DR._encode_cloud(
-            self,
-            batch["radar_points"],
-            batch["radar_points_mask"],
-            self.radar_vfe,
-            train,
+        nx, ny = grid[0], grid[1]
+        pts = batch["points"]
+        b, l = pts.shape[:2]
+
+        def pil(p, m, cap_key="max_points_per_voxel"):
+            return pillarize_batch(
+                p.reshape((b * l,) + p.shape[2:]),
+                m.reshape((b * l,) + p.shape[2:3]),
+                lidar_range=jnp.asarray(lidar_range, jnp.float32),
+                voxel_size=jnp.asarray(voxel_size, jnp.float32),
+                grid_size=grid,
+                max_pillars=int(pre["args"].get("max_voxel_train", 16000)),
+                max_points_per_pillar=int(pre["args"].get(cap_key, 32)),
+            )
+
+        pl = pil(batch["points"], batch["points_mask"])
+        pr = pil(batch["radar_points"], batch["radar_points_mask"])
+
+        # align: dense cell -> radar pillar row, then gather radar pillars
+        # at each lidar pillar's cell
+        def align(coords_l, mask_l, coords_r, mask_r, vox_r, np_r):
+            cell_r = coords_r[:, 1] * nx + coords_r[:, 2]
+            cell_r = jnp.where(mask_r, cell_r, ny * nx)  # park invalid
+            rows = (
+                jnp.full(ny * nx + 1, -1, jnp.int32)
+                .at[cell_r]
+                .set(jnp.arange(cell_r.shape[0], dtype=jnp.int32))
+            )
+            cell_l = coords_l[:, 1] * nx + coords_l[:, 2]
+            r_row = rows[jnp.where(mask_l, cell_l, ny * nx)]
+            matched = r_row >= 0
+            safe = jnp.maximum(r_row, 0)
+            vox = vox_r[safe] * matched[:, None, None].astype(vox_r.dtype)
+            npts = np_r[safe] * matched.astype(np_r.dtype)
+            return vox, npts
+
+        vox_r, np_r = jax.vmap(align)(
+            pl.coords, pl.mask, pr.coords, pr.mask, pr.voxels, pr.num_points
         )
-        # bidirectional gated interaction (interRAL :10-37)
-        lidar2 = lidar + radar * nn.sigmoid(self.l2r(radar))
-        radar2 = radar + lidar * nn.sigmoid(self.r2l(lidar))
-        fused = 0.5 * (lidar2 + radar2)
-        return fused * batch["agent_mask"][:, :, None, None, None].astype(
-            fused.dtype
+
+        x_aug, x_pm = augment_pillar_points(
+            pl.voxels, pl.num_points, pl.coords,
+            voxel_size=voxel_size, lidar_range=lidar_range, dtype=self.dtype,
         )
+        y_aug, y_pm = augment_pillar_points(
+            vox_r, np_r, pl.coords,
+            voxel_size=voxel_size, lidar_range=lidar_range, dtype=self.dtype,
+        )
+        pf = self.inter_ral(x_aug, x_pm, y_aug, y_pm, train)
+        pf = pf * pl.mask[..., None].astype(pf.dtype)
+        bev = scatter_pillars_to_bev_batch(pf, pl.coords, pl.mask, ny=ny, nx=nx)
+        bev = bev.reshape((b, l) + bev.shape[1:])
+        return bev * batch["agent_mask"][:, :, None, None, None].astype(bev.dtype)
 
     def fuse(self, grouped, batch, train):
         return ego_agent_attention(grouped, batch["agent_mask"]), jnp.asarray(1.0)
@@ -219,6 +303,11 @@ class PointPillarL4DR(PointPillarBase):
         b, l = pts.shape[:2]
         flat_pts = pts.reshape((b * l,) + pts.shape[2:])
         flat_mask = mask.reshape((b * l,) + pts.shape[2:3])
+        from airv2x_tpu.ops.fast_pillars import FastPillarBEV
+
+        if isinstance(vfe, FastPillarBEV):
+            bev = vfe(flat_pts, flat_mask, train)
+            return bev.reshape((b, l) + bev.shape[1:])
         pil = pillarize_batch(
             flat_pts,
             flat_mask,

@@ -44,6 +44,9 @@ def synthetic_batches(hypes, layout, batch_size, steps, seed):
     anchors = generate_anchor_grid(hypes["postprocess"]["anchor_args"])
     standup = anchor_standup_boxes(anchors)
     rng = np.random.default_rng(seed)
+    # V2X-R lidar+radar families consume a second cloud
+    core = hypes["model"]["core_method"].lower()
+    needs_radar = any(k in core for k in ("l4dr", "lrf", "interf", "mdd"))
     for _ in range(steps):
         batch, _ = make_batch(
             rng,
@@ -56,6 +59,11 @@ def synthetic_batches(hypes, layout, batch_size, steps, seed):
             points_per_agent=int(hypes["preprocess"].get("max_points", 8192)),
             lidar_range=hypes["preprocess"]["cav_lidar_range"],
             max_boxes=hypes["postprocess"]["max_num"],
+            radar_points_per_agent=(
+                int(hypes["preprocess"].get("max_points", 8192)) // 8
+                if needs_radar
+                else 0
+            ),
         )
         yield batch
 

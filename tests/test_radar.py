@@ -93,3 +93,31 @@ def test_interf_forward():
     out = jax.jit(lambda v, b: model.apply(v, b, train=False))(variables, batch)
     assert out["psm"].shape == (1, 32, 32, 2)
     assert np.isfinite(np.asarray(out["psm"])).all()
+
+
+def test_interral_semantics():
+    """Radar points in the same cell change the pillar feature; empty radar
+    cells reduce to the pure lidar transform path."""
+    import jax
+    import jax.numpy as jnp
+
+    from airv2x_tpu.models.radar_models import InterRAL
+
+    rng = np.random.default_rng(7)
+    P, K, Kr, F = 4, 6, 3, 10
+    x = jnp.asarray(rng.normal(size=(P, K, F)).astype(np.float32))
+    xm = jnp.ones((P, K), bool)
+    y = jnp.asarray(rng.normal(size=(P, Kr, F)).astype(np.float32))
+    ym = jnp.ones((P, Kr), bool).at[0].set(False)  # pillar 0: no radar
+
+    mod = InterRAL(channels=16)
+    v = mod.init(jax.random.PRNGKey(0), x, xm, y, ym, False)
+    out = mod.apply(v, x, xm, y, ym, False)
+    assert out.shape == (P, 16)
+    assert np.isfinite(np.asarray(out)).all()
+
+    # perturbing radar changes pillars with radar, not pillar 0
+    y2 = y + 1.0
+    out2 = mod.apply(v, x, xm, y2, ym, False)
+    assert np.allclose(np.asarray(out[0]), np.asarray(out2[0]), atol=1e-6)
+    assert not np.allclose(np.asarray(out[1]), np.asarray(out2[1]), atol=1e-4)
