@@ -56,10 +56,15 @@ def decode_detections(
     deltas = rm.astype(jnp.float32).reshape(h, w, a, 7).reshape(-1, 7)
     boxes = decode_boxes(deltas, flat_anchors)  # (N, 7)
 
-    # class: sigmoid over (A, C), background column dropped, argmax + 1
-    cls = jax.nn.sigmoid(psm.astype(jnp.float32).reshape(h, w, a, num_class))
-    cls = cls.reshape(-1, num_class)[:, 1:]
-    labels = jnp.argmax(cls, axis=-1).astype(jnp.int32) + 1
+    # class: sigmoid over (A, C), background column dropped, argmax + 1;
+    # binary heads (num_class <= 1, OPV2V point_pillar family) have no class
+    # columns — every detection is the single foreground class
+    if num_class > 1:
+        cls = jax.nn.sigmoid(psm.astype(jnp.float32).reshape(h, w, a, num_class))
+        cls = cls.reshape(-1, num_class)[:, 1:]
+        labels = jnp.argmax(cls, axis=-1).astype(jnp.int32) + 1
+    else:
+        labels = jnp.ones(h * w * a, jnp.int32)
 
     valid = objness > obj_threshold
 

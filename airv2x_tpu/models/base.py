@@ -46,7 +46,9 @@ class SlotLayout:
     @classmethod
     def from_args(cls, args: dict) -> "SlotLayout":
         max_cav = args["max_cav"]
-        if not isinstance(max_cav, dict):  # OPV2V-style scalar: all vehicles
+        from collections.abc import Mapping
+
+        if not isinstance(max_cav, Mapping):  # OPV2V scalar: all vehicles
             return cls(counts=(int(max_cav), 0, 0))
         collab = args.get("collaborators", list(AGENT_TYPES))
         counts = tuple(

@@ -69,10 +69,13 @@ class CrossCondBlock(nn.Module):
 
 
 class RadarCondDenoiser(nn.Module):
-    """eps-prediction denoiser conditioned on radar features."""
+    """eps-prediction UNet denoiser conditioned on radar features
+    (mdd_modules/unet.DiffusionUNet twin): two strided down levels, a
+    cross-conditioned bottleneck, and skip-connected up levels; every level
+    gets a timestep+radar CrossCondBlock."""
 
     channels: int
-    depth: int = 2
+    depth: int = 2  # cross blocks per level
     cond_tokens: int = 64
     dtype: Any = jnp.float32
 
@@ -88,11 +91,36 @@ class RadarCondDenoiser(nn.Module):
         tokens = jax.image.resize(radar_bev, (b, g, g, rc), "bilinear")
         tokens = nn.Dense(c, dtype=self.dtype)(tokens.reshape(b, g * g, rc))
 
-        h_ = nn.Conv(c, (3, 3), padding="SAME", dtype=self.dtype)(x_noisy)
+        h0 = nn.Conv(c, (3, 3), padding="SAME", dtype=self.dtype)(x_noisy)
+        h0 = CrossCondBlock(c, dtype=self.dtype)(h0, tokens, t_emb)
+
+        h1 = nn.Conv(c, (3, 3), strides=(2, 2), padding="SAME",
+                     dtype=self.dtype)(h0)
+        h1 = CrossCondBlock(c, dtype=self.dtype)(h1, tokens, t_emb)
+
+        mid = nn.Conv(c, (3, 3), strides=(2, 2), padding="SAME",
+                      dtype=self.dtype)(h1)
         for _ in range(self.depth):
-            h_ = CrossCondBlock(c, dtype=self.dtype)(h_, tokens, t_emb)
+            mid = CrossCondBlock(c, dtype=self.dtype)(mid, tokens, t_emb)
+
+        u1 = nn.ConvTranspose(c, (2, 2), strides=(2, 2), dtype=self.dtype)(mid)
+        u1 = CrossCondBlock(c, dtype=self.dtype)(
+            nn.Conv(c, (3, 3), padding="SAME", dtype=self.dtype)(
+                jnp.concatenate([u1, h1], axis=-1)
+            ),
+            tokens,
+            t_emb,
+        )
+        u0 = nn.ConvTranspose(c, (2, 2), strides=(2, 2), dtype=self.dtype)(u1)
+        u0 = CrossCondBlock(c, dtype=self.dtype)(
+            nn.Conv(c, (3, 3), padding="SAME", dtype=self.dtype)(
+                jnp.concatenate([u0, h0], axis=-1)
+            ),
+            tokens,
+            t_emb,
+        )
         return nn.Conv(x_noisy.shape[-1], (3, 3), padding="SAME",
-                       dtype=self.dtype)(h_)
+                       dtype=self.dtype)(u0)
 
 
 class CondDiffDenoise(nn.Module):

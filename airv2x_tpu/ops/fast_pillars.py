@@ -42,8 +42,6 @@ from typing import Any, Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
-from airv2x_tpu.models.nn import MaskedBatchNorm
-
 
 def point_cell_ids(points, mask, lidar_range, voxel_size, nx, ny):
     """Per-point flat BEV cell id.
@@ -117,6 +115,13 @@ class FastPillarBEV(nn.Module):
         mask_flat = mask.reshape(m * n)
 
         ids, valid = point_cell_ids(pts_flat, mask_flat, lr, vs, nx, ny)
+        # Spread invalid points uniformly over cells instead of parking them
+        # all at cell 0: their contributions are already nullified (w=0 for
+        # the mean sums, -1e9 for the max), but tens of thousands of
+        # duplicate writes to ONE address serialize the TPU scatter —
+        # measured 17 ms vs 5 ms per scene on padded clouds.
+        spread = jnp.arange(ids.shape[0], dtype=jnp.int32) % cells
+        ids = jnp.where(valid, ids, spread)
         row = jnp.repeat(jnp.arange(m, dtype=jnp.int32), n)
         gids = row * cells + ids  # offset ids: one scatter for all maps
         pts = pts_flat.astype(self.dtype)
@@ -145,6 +150,9 @@ class FastPillarBEV(nn.Module):
             feats.append(jnp.linalg.norm(pts[:, :3], axis=-1, keepdims=True))
         x = jnp.concatenate(feats, axis=-1)
         x = jnp.where(valid[:, None], x, 0.0)
+
+        from airv2x_tpu.models.nn import MaskedBatchNorm  # lazy: avoids
+        # ops <-> models registry import cycle
 
         x = nn.Dense(out_c, use_bias=not self.use_norm, dtype=self.dtype)(x)
         if self.use_norm:

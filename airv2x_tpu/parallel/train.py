@@ -131,7 +131,11 @@ def make_train_step(
                 {"params": params, "batch_stats": state.batch_stats},
                 batch,
                 train=True,
-                rngs={"comm": rng},
+                rngs={
+                    "comm": rng,
+                    "diffusion": jax.random.fold_in(rng, 1),
+                    "dropout": jax.random.fold_in(rng, 2),
+                },
                 mutable=["batch_stats"],
             )
             total, parts = loss_fn(out, batch["labels"])

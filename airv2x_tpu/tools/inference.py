@@ -62,13 +62,18 @@ def main():
     anchors = jnp.asarray(generate_anchor_grid(hypes["postprocess"]["anchor_args"]))
 
     rng = np.random.default_rng(opt.seed)
-    scene0, _ = make_scene(
-        rng,
-        layout,
+    core = hypes["model"]["core_method"].lower()
+    needs_radar = any(k in core for k in ("l4dr", "lrf", "interf", "mdd"))
+    scene_kw = dict(
         num_objects=8,
         points_per_agent=int(hypes["preprocess"].get("max_points", 8192)),
         lidar_range=hypes["preprocess"]["cav_lidar_range"],
+        radar_points_per_agent=(
+            int(hypes["preprocess"].get("max_points", 8192)) // 8
+            if needs_radar else 0
+        ),
     )
+    scene0, _ = make_scene(rng, layout, **scene_kw)
     example = jax.tree.map(lambda x: jnp.asarray(x)[None], scene0)
 
     variables = jax.jit(lambda r, b: model.init(r, b, train=False))(
@@ -97,7 +102,7 @@ def main():
         det = decode_detections(
             out["psm"][0],
             out["rm"][0],
-            out["obj"][0],
+            out.get("obj", out["psm"])[0],  # binary family: psm is the score
             anchors,
             jnp.eye(4),
             lidar_range,
@@ -112,13 +117,7 @@ def main():
     comm_rates = []
     rng = np.random.default_rng(opt.seed)
     for _ in range(opt.num_scenes):
-        scene, gt = make_scene(
-            rng,
-            layout,
-            num_objects=8,
-            points_per_agent=int(hypes["preprocess"].get("max_points", 8192)),
-            lidar_range=hypes["preprocess"]["cav_lidar_range"],
-        )
+        scene, gt = make_scene(rng, layout, **scene_kw)
         batch = jax.tree.map(lambda x: jnp.asarray(x)[None], scene)
         det, rate = infer(state.params, state.batch_stats, batch)
         comm_rates.append(float(rate))

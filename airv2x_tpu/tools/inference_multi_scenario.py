@@ -107,7 +107,7 @@ def main():
         det = decode_detections(
             out["psm"][0],
             out["rm"][0],
-            out["obj"][0],
+            out.get("obj", out["psm"])[0],  # binary family: psm is the score
             anchors,
             jnp.eye(4),
             lr,

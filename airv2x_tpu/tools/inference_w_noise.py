@@ -85,7 +85,7 @@ def main():
         return decode_detections(
             out["psm"][0],
             out["rm"][0],
-            out["obj"][0],
+            out.get("obj", out["psm"])[0],  # binary family: psm is the score
             anchors,
             jnp.eye(4),
             lidar_range,
