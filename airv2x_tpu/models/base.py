@@ -82,6 +82,10 @@ class HeteroLidarEncoder(nn.Module):
     layout: SlotLayout
     max_pillars: int
     max_points_per_pillar: int
+    # True -> return (x, {"lidar": ..., "cam": ...}) with per-modality BEV
+    # maps (zeros where a type lacks the modality) so callers like BM2CP can
+    # run their own modal interaction instead of the default mean.
+    keep_modal: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -130,6 +134,7 @@ class HeteroLidarEncoder(nn.Module):
             pmask = pil.mask.reshape((b, l) + pil.mask.shape[1:])
 
         feats = []
+        modal_feats = {"lidar": [], "cam": []}
         for t in AGENT_TYPES:
             sl = self.layout.slots(t)
             n_t = sl.stop - sl.start
@@ -213,7 +218,23 @@ class HeteroLidarEncoder(nn.Module):
                 else jnp.mean(jnp.stack(modal_bevs, 0), axis=0)
             )
             feats.append(bev.reshape((b, n_t) + bev.shape[1:]))
+            if self.keep_modal:
+                for mod_name in ("lidar", "cam"):
+                    got = dict(zip(modalities, modal_bevs)).get(mod_name)
+                    if got is None:
+                        got = jnp.zeros_like(modal_bevs[0])
+                    modal_feats[mod_name].append(
+                        got.reshape((b, n_t) + got.shape[1:])
+                    )
 
         x = jnp.concatenate(feats, axis=1)  # (B, L, ny, nx, C)
         # zero padding agents' features
-        return x * batch["agent_mask"][:, :, None, None, None].astype(x.dtype)
+        am = batch["agent_mask"][:, :, None, None, None].astype(x.dtype)
+        x = x * am
+        if self.keep_modal:
+            modal = {
+                k: jnp.concatenate(v, axis=1) * am
+                for k, v in modal_feats.items()
+            }
+            return x, modal
+        return x

@@ -1,14 +1,18 @@
 """Airv2x BM2CP: multimodal (LiDAR+camera) per-agent encoding with
 confidence-guided collaboration.
 
-Capability twin of models/airv2x_bm2cp.py + bm2cp_modules/: each agent
-encodes both modalities (hetero encoder with lidar+cam and mean BEV
-fusion); a learned per-agent modality-confidence map (``thres_map`` — the
-reference derives it from the lidar/camera interaction blocks in
-sensor_blocks.py, simplified here to a conv head over the fused BEV)
-modulates a where2comm-style confidence-masked attention fusion
-(bm2cp_modules/attentioncomm). The detailed lidar-guided-depth interaction
-of sensor_blocks.py is a noted simplification to tighten later.
+Behavioural twin of models/airv2x_bm2cp.py + bm2cp_modules/: per agent, the
+lidar and camera BEV maps interact through the sensor_blocks.py
+MultiModalFusion logic (:241-315, BEV analog of its collapsed-Z output):
+
+  * occupancy masks per modality (any non-zero channel);
+  * where both modalities exist: a gated fuse
+    ``multifuse([relu(multigate(pc)) * img, pc])``;
+  * lidar-only pixels keep lidar; camera-only pixels keep the camera
+    features gated by the ImgModalFusion channel-attention mask (:214-239);
+  * ``thres_map`` = 0 where both modalities agree, 0.5 elsewhere — a
+    per-pixel communication threshold consumed by the where2comm-style
+    Communication (bm2cp_modules/attentioncomm.py).
 """
 
 from __future__ import annotations
@@ -25,8 +29,64 @@ from airv2x_tpu.models.intermediate_models import PostBackboneFusionModel
 from airv2x_tpu.models.registry import register_model
 
 
+class ImgModalFusion(nn.Module):
+    """sensor_blocks.py ImgModalFusion (:214-239): camera features are
+    gated by a channel-attention mask computed against the lidar features
+    (camera trusted only where it agrees with lidar structure)."""
+
+    threshold: float = 0.5
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, img, pc):
+        """img, pc (N, H, W, C) -> binary mask (N, H, W, C)."""
+        n, h, w, c = img.shape
+        pcf = pc.reshape(n, h * w, c)
+        imf = img.reshape(n, h * w, c)
+        # channel x channel attention (q=pc, k=v=img), per reference
+        attn = jax.nn.softmax(
+            jnp.einsum("bnc,bnd->bcd", pcf, imf)
+            / jnp.sqrt(jnp.asarray(c, pcf.dtype)),
+            axis=-1,
+        )
+        ctx = jnp.einsum("bcd,bnd->bnc", attn, imf)
+        gate = jax.nn.sigmoid(nn.Dense(c, dtype=self.dtype)(ctx))
+        return (gate > self.threshold).astype(img.dtype).reshape(img.shape)
+
+
+class MultiModalBEVFusion(nn.Module):
+    """sensor_blocks.py MultiModalFusion (:241-315), BEV analog.
+
+    Returns (fused (N, H, W, C), thres_map (N, H, W)) where thres_map is 0
+    on pixels seen by both modalities and 0.5 elsewhere."""
+
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, img, pc):
+        c = pc.shape[-1]
+        pc_mask = jnp.max((pc != 0).astype(pc.dtype), axis=-1, keepdims=True)
+        img_mask = jnp.max((img != 0).astype(img.dtype), axis=-1, keepdims=True)
+
+        gated = nn.relu(nn.Conv(c, (1, 1), dtype=self.dtype,
+                                name="multigate")(pc)) * img
+        both = nn.Conv(c, (1, 1), dtype=self.dtype, name="multifuse")(
+            jnp.concatenate([gated, pc], axis=-1)
+        )
+        img_gate = ImgModalFusion(dtype=self.dtype)(img, pc)
+        fused = (
+            pc_mask * img_mask * both
+            + pc * pc_mask * (1.0 - img_mask)
+            + img * img_gate * (1.0 - pc_mask) * img_mask
+        )
+        thres_map = (0.5 * (1.0 - pc_mask * img_mask))[..., 0]
+        return fused, thres_map
+
+
 @register_model("airv2x_bm2cp")
 class Airv2xBM2CP(PostBackboneFusionModel):
+    keep_modal_encoder = True
+
     def setup_fusion(self):
         fcfg = self.args.get("bm2cp_fusion", {})
         comm = fcfg.get("communication", {})
@@ -37,16 +97,38 @@ class Airv2xBM2CP(PostBackboneFusionModel):
             k_size=gauss["k_size"] if gauss else 5,
             c_sigma=gauss["c_sigma"] if gauss else 1.0,
         )
-        self.thres_head = nn.Conv(1, (1, 1), dtype=self.dtype, name="thres_head")
+        self.mm_fusion = MultiModalBEVFusion(dtype=self.dtype)
 
-    def fuse(self, grouped, batch, train):
-        b, l = grouped.shape[:2]
-        flat = grouped.reshape((b * l,) + grouped.shape[2:])
-        # modality-confidence map per agent (thres_map stand-in)
-        thres = self.thres_head(flat).reshape((b, l) + grouped.shape[2:4] + (1,))
+    def __call__(self, batch, train: bool = False):
+        x, modal = self.encoder(batch, train)  # keep_modal encoder
+        b, l = x.shape[:2]
+
+        def flat(a):
+            return a.reshape((b * l,) + a.shape[2:])
+
+        fused_bev, thres_map = self.mm_fusion(flat(modal["cam"]),
+                                              flat(modal["lidar"]))
+        feats, _ = self.backbone(fused_bev, train)
+        if self.shrink_flag:
+            feats = self.shrink_conv(feats, train)
+        if self.compression:
+            feats = self.compressor(feats, train)
+        grouped = feats.reshape((b, l) + feats.shape[1:])
+
+        # per-pixel modality threshold at the head resolution
+        tm = thres_map.reshape((b, l) + thres_map.shape[1:])
+        if tm.shape[-2:] != grouped.shape[2:4]:
+            tm = jax.image.resize(tm, tm.shape[:2] + grouped.shape[2:4],
+                                  "nearest")
+        psm_single = self.heads(grouped.reshape((b * l,) + grouped.shape[2:]))[
+            "psm"
+        ].reshape((b, l) + grouped.shape[2:4] + (-1,))
         comm_mask, rate = self.communication(
-            thres, batch["agent_mask"], train=train
+            psm_single, batch["agent_mask"], train=train, thres_map=tm
         )
-        gated = grouped * comm_mask[..., None] * jax.nn.sigmoid(thres)
+        gated = grouped * comm_mask[..., None]
         fused = ego_agent_attention(gated, batch["agent_mask"])
-        return fused, rate
+
+        out = dict(self.heads(fused))
+        out["comm_rate"] = rate
+        return out

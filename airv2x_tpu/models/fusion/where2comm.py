@@ -59,9 +59,12 @@ class Communication(nn.Module):
     c_sigma: float = 1.0
 
     @nn.compact
-    def __call__(self, psm, agent_mask, *, train: bool, rng=None):
+    def __call__(self, psm, agent_mask, *, train: bool, rng=None,
+                 thres_map=None):
         """psm: (B, L, H, W, AC) confidence logits -> (mask (B, L, H, W),
-        comm_rate scalar)."""
+        comm_rate scalar). ``thres_map`` (B, L, H, W) overrides the scalar
+        eval threshold per pixel (BM2CP's modality-aware threshold,
+        bm2cp_modules/attentioncomm.py)."""
         b, l, h, w, _ = psm.shape
         conf = jnp.max(jax.nn.sigmoid(psm), axis=-1)  # (B, L, H, W)
         if self.smooth:
@@ -80,7 +83,8 @@ class Communication(nn.Module):
             comm_mask = (ranks < k[:, None, None]).astype(conf.dtype)
             comm_mask = comm_mask.reshape(b, l, h, w)
         else:
-            comm_mask = (conf > self.threshold).astype(conf.dtype)
+            thr = self.threshold if thres_map is None else thres_map
+            comm_mask = (conf > thr).astype(conf.dtype)
 
         # ego always communicates with itself
         comm_mask = comm_mask.at[:, 0].set(1.0)

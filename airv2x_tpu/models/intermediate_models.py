@@ -46,6 +46,7 @@ class PostBackboneFusionModel(nn.Module):
             layout=self.layout,
             max_pillars=int(pre["args"].get("max_voxel_train", 16000)),
             max_points_per_pillar=int(pre["args"].get("max_points_per_voxel", 32)),
+            keep_modal=getattr(self, "keep_modal_encoder", False),
             dtype=self.dtype,
         )
         mod = args["modality_fusion"]

@@ -267,3 +267,30 @@ def test_late_fusion_decode():
     )
     assert det.mask.shape == (L * H * W * A,)
     assert np.isfinite(np.asarray(det.scores)).all()
+
+
+def test_bm2cp_multimodal_fusion_semantics():
+    """sensor_blocks MultiModalFusion twin: lidar-only pixels keep lidar,
+    thres_map is 0 only where both modalities see the pixel."""
+    import jax
+    import jax.numpy as jnp
+
+    from airv2x_tpu.models.bm2cp_model import MultiModalBEVFusion
+
+    pc = np.zeros((1, 4, 4, 8), np.float32)
+    img = np.zeros((1, 4, 4, 8), np.float32)
+    pc[0, :2] = 1.0        # rows 0-1: lidar
+    img[0, 1:3] = 0.5      # rows 1-2: camera -> row 1 is "both"
+    pc, img = jnp.asarray(pc), jnp.asarray(img)
+
+    mod = MultiModalBEVFusion()
+    v = mod.init(jax.random.PRNGKey(0), img, pc)
+    fused, thres = mod.apply(v, img, pc)
+    t = np.asarray(thres)[0]
+    assert np.all(t[1] == 0.0)            # both modalities
+    assert np.all(t[0] == 0.5) and np.all(t[2] == 0.5)
+    assert np.all(t[3] == 0.5)            # neither
+    # lidar-only row passes lidar features through unchanged
+    np.testing.assert_allclose(np.asarray(fused)[0, 0], np.asarray(pc)[0, 0])
+    # empty row stays empty
+    assert float(jnp.abs(fused[0, 3]).max()) == 0.0
