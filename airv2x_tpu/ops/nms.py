@@ -23,6 +23,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+from airv2x_tpu.ops.pallas_iou import pairwise_quad_iou_fused
 from airv2x_tpu.ops.rotated_iou import pairwise_quad_iou
 
 
@@ -57,7 +58,9 @@ def rotated_nms(
     top_corners = corners_bev[top_idx]
     top_valid = top_scores > neg_inf
 
-    iou = pairwise_quad_iou(top_corners, top_corners)  # (k, k)
+    # fused Pallas kernel when k matches the tile grid (64/128 multiples),
+    # XLA 24-candidate path otherwise (pallas_iou.py STATUS)
+    iou = pairwise_quad_iou_fused(top_corners, top_corners)  # (k, k)
 
     # over[i, j] == True: the better-ranked box i suppresses j *if i is kept*.
     rank = jnp.arange(k)

@@ -11,14 +11,16 @@ corner lists in and the IoU tile out.
 Layout: all per-pair temporaries are (TI, K, TJ) with the j-pair axis on
 the 128-wide lane dimension and the candidate axis K on sublanes.
 
-STATUS: semantics are verified against the XLA implementation in
-interpret mode (tests/test_pallas_iou.py, max err ~2e-5), but the Mosaic
-compiler in this image rejects the composed kernel with "Unsupported target
-bitwidth for truncation" (every individual construct — rolls, 4D reshapes,
-two-sided broadcasts, bool reductions — compiles in isolation; the failure
-appears only in composition). ``pairwise_quad_iou_fused`` therefore probes
-the backend once and falls back to the XLA path. Revisit when the
-toolchain moves or by restructuring to 2D-only shapes.
+STATUS: compiles and runs on TPU v5e. Two Mosaic constraints shaped the
+kernel: (1) ANY i1 (boolean) intermediate in the composed kernel fails
+Mosaic legalization with "Unsupported target bitwidth for truncation"
+(arith.trunci) — so every predicate is float {0,1} arithmetic via
+``_ge0`` and selects are lerps; (2) the (TI, 32, TJ) f32 temporaries must
+fit scoped VMEM (16 MB) — tile (64, 128) fits, (128, 128) does not.
+Measured vs the XLA path on v5e: 4.35 ms vs 6.14 ms at 512x512,
+6.53 ms vs 13.06 ms at 1024x1024 (scan-timed). Numerics: mean |err|
+~3e-9, max ~4e-4 on boundary-touching pairs (tests/test_pallas_iou.py
+verifies interpret mode at 2e-5).
 """
 
 from __future__ import annotations
@@ -39,6 +41,14 @@ _TOL = 1e-4
 _BIG = 1e9
 _NC = 24  # candidate count
 _NS = 32  # bitonic width
+
+
+def _ge0(x):
+    """Float {0,1} mask for x >= 0 with NO boolean tensors: Mosaic in this
+    image fails composed kernels containing i1 intermediates with
+    "Unsupported target bitwidth for truncation" (arith.trunci), so every
+    predicate is arithmetic."""
+    return jnp.minimum(jnp.sign(x) + 1.0, 1.0)
 
 
 def _iou_tile_kernel(q1_ref, q2_ref, out_ref):
@@ -73,25 +83,26 @@ def _iou_tile_kernel(q1_ref, q2_ref, out_ref):
     qpy = bj(cy) - bi(ay)
     t_num = qpx * bj(sy) - qpy * bj(sx)
     u_num = qpx * bi(ry) - qpy * bi(rx)
-    safe = jnp.where(jnp.abs(denom) > _EPS, denom, 1.0)
+    nz = _ge0(jnp.abs(denom) - _EPS)  # float: |denom| > eps
+    safe = denom + (1.0 - nz)  # nz==0 -> denom==~0 -> use 1.0
     t = t_num / safe
     u = u_num / safe
-    inter_ok = (
-        (jnp.abs(denom) > _EPS)
-        & (t >= -_TOL) & (t <= 1.0 + _TOL)
-        & (u >= -_TOL) & (u <= 1.0 + _TOL)
+    iok_f = (
+        nz
+        * _ge0(t + _TOL) * _ge0(1.0 + _TOL - t)
+        * _ge0(u + _TOL) * _ge0(1.0 + _TOL - u)
     )
     ix = bi(ax) + t * bi(rx)
     iy = bi(ay) + t * bi(ry)
 
     ix = ix.reshape(ti, 16, tj)
     iy = iy.reshape(ti, 16, tj)
-    iok_f = jnp.where(inter_ok, 1.0, 0.0).reshape(ti, 16, tj)
+    iok_f = iok_f.reshape(ti, 16, tj)
 
     # ---- corner containment ----
     def inside(px, py, qx, qy):
-        # point (TI, P, TJ) in convex quad given by (corner arrays broadcast
-        # to (TI?, 4, TJ?)); cross sign against all 4 edges consistent.
+        # point (TI, P, TJ) in convex quad (corner arrays broadcast to
+        # (TI?, 4, TJ?)); cross sign against all 4 edges consistent.
         ex, ey = nxt(qx) - qx, nxt(qy) - qy  # quad edges
         relx = px[:, :, None, :] - qx[:, None, :, :]
         rely = py[:, :, None, :] - qy[:, None, :, :]
@@ -99,8 +110,8 @@ def _iou_tile_kernel(q1_ref, q2_ref, out_ref):
         # unrolled 4-way min: Mosaic rejects middle-axis reductions of 4D
         ge = le = None
         for kk in range(4):
-            g = jnp.where(cr[:, :, kk, :] >= -_TOL * 100.0, 1.0, 0.0)
-            l_ = jnp.where(cr[:, :, kk, :] <= _TOL * 100.0, 1.0, 0.0)
+            g = _ge0(cr[:, :, kk, :] + _TOL * 100.0)
+            l_ = _ge0(_TOL * 100.0 - cr[:, :, kk, :])
             ge = g if ge is None else jnp.minimum(ge, g)
             le = l_ if le is None else jnp.minimum(le, l_)
         return jnp.maximum(ge, le)  # float 0/1 mask
@@ -117,7 +128,7 @@ def _iou_tile_kernel(q1_ref, q2_ref, out_ref):
         jnp.broadcast_to(y2, (1, 4, tj)),
         jnp.broadcast_to(x1, (ti, 4, 1)),
         jnp.broadcast_to(y1, (ti, 4, 1)),
-    )  # (1... broadcasting) -> (TI? , 4, TJ)
+    )
     in21 = jnp.broadcast_to(in21, (ti, 4, tj))  # float masks
     in12 = jnp.broadcast_to(in12, (ti, 4, tj))
 
@@ -142,19 +153,22 @@ def _iou_tile_kernel(q1_ref, q2_ref, out_ref):
     # diamond pseudo-angle: monotonic in atan2 (which Pallas does not lower),
     # mapping the circle to [-2, 2) — the sort only needs the ordering.
     r = rely / (jnp.abs(relx) + jnp.abs(rely) + _EPS)
-    pseudo = jnp.where(
-        relx >= 0, r, jnp.where(rely >= 0, 2.0 - r, -2.0 - r)
+    mposx = _ge0(relx)
+    mposy = _ge0(rely)
+    pseudo = mposx * r + (1.0 - mposx) * (
+        mposy * (2.0 - r) + (1.0 - mposy) * (-2.0 - r)
     )
-    ang = jnp.where(valid_f > 0.5, pseudo, _BIG)
+    ang = valid_f * pseudo + (1.0 - valid_f) * _BIG
 
     # ---- bitonic sort by angle (flip-based partner exchange on axis 1) ----
     lane_f = jax.lax.broadcasted_iota(jnp.int32, (1, _NS, 1), 1).astype(
         jnp.float32
     )
 
-    def bit_is_clear(m):
-        # bit test via float arithmetic (Mosaic rejects some int bit ops)
-        return jnp.mod(jnp.floor(lane_f / m), 2.0) < 0.5
+    def bit_clear_f(m):
+        # float {0,1}: 1 where the bit of weight m is clear in the lane id
+        return 1.0 - jnp.mod(jnp.floor(lane_f / m), 2.0)
+
     k = 2
     while k <= _NS:
         j = k // 2
@@ -162,37 +176,40 @@ def _iou_tile_kernel(q1_ref, q2_ref, out_ref):
             # partner value a[i XOR j]: lanes with bit j clear read i+j
             # (roll left by j), lanes with bit j set read i-j (roll right) —
             # no wraparound crosses a 2j block, so global rolls are exact.
-            bit_clear = bit_is_clear(j)
+            bc = bit_clear_f(j)
 
-            def swap(a, bit_clear=bit_clear, j=j):
+            def swap(a, bc=bc, j=j):
                 left = pltpu.roll(a, _NS - j, 1)  # a[(i + j) % NS]
                 right = pltpu.roll(a, j, 1)  # a[(i - j) % NS]
-                return jnp.where(bit_clear, left, right)
+                return bc * left + (1.0 - bc) * right
 
             kp = swap(ang)
             px = swap(relx)
             py = swap(rely)
-            kbit_clear = bit_is_clear(k)
-            tm = jnp.where(bit_clear, kbit_clear, ~kbit_clear)
-            take_self = jnp.where(tm, ang <= kp, ang >= kp)
-            ang = jnp.where(tm, jnp.minimum(ang, kp), jnp.maximum(ang, kp))
-            relx = jnp.where(take_self, relx, px)
-            rely = jnp.where(take_self, rely, py)
+            kbc = bit_clear_f(k)
+            tm = bc * kbc + (1.0 - bc) * (1.0 - kbc)  # ascending lanes
+            le = _ge0(kp - ang)  # ang <= kp
+            # take own value: ascending lanes when ang <= kp, descending
+            # lanes when ang >= kp (ties keep self, matching the bool kernel)
+            ts = tm * le + (1.0 - tm) * _ge0(ang - kp)
+            ang = tm * jnp.minimum(ang, kp) + (1.0 - tm) * jnp.maximum(ang, kp)
+            relx = ts * relx + (1.0 - ts) * px
+            rely = ts * rely + (1.0 - ts) * py
             j //= 2
         k *= 2
 
     # replace invalid tail with the first (lowest-angle) vertex
-    vs = ang < _BIG / 2
+    vsf = _ge0(_BIG / 2 - ang)
     fx = relx[:, 0:1, :]
     fy = rely[:, 0:1, :]
-    relx = jnp.where(vs, relx, fx)
-    rely = jnp.where(vs, rely, fy)
+    relx = vsf * relx + (1.0 - vsf) * fx
+    rely = vsf * rely + (1.0 - vsf) * fy
 
     # shoelace with wraparound
     nx_ = pltpu.roll(relx, _NS - 1, 1)
     ny_ = pltpu.roll(rely, _NS - 1, 1)
     inter = 0.5 * jnp.abs(jnp.sum(relx * ny_ - nx_ * rely, axis=1))
-    inter = jnp.where(nvalid >= 3.0, inter, 0.0)
+    inter = inter * _ge0(nvalid - 2.5)  # >= 3 vertices
 
     # quad areas via shoelace of the raw corners
     a1 = 0.5 * jnp.abs(
@@ -205,7 +222,7 @@ def _iou_tile_kernel(q1_ref, q2_ref, out_ref):
 
 @partial(jax.jit, static_argnames=("tile_i", "tile_j"))
 def pairwise_quad_iou_pallas(
-    c1: jnp.ndarray, c2: jnp.ndarray, tile_i: int = 128, tile_j: int = 128
+    c1: jnp.ndarray, c2: jnp.ndarray, tile_i: int = 64, tile_j: int = 128
 ) -> jnp.ndarray:
     """(N, 4, 2) x (M, 4, 2) -> (N, M) IoU via the fused VMEM kernel.
 
@@ -229,16 +246,30 @@ _FUSED_OK: bool | None = None
 
 
 def pairwise_quad_iou_fused(c1, c2):
-    """Pallas kernel with one-time probe + XLA fallback (see STATUS above)."""
+    """Pallas kernel with one-time probe + XLA fallback (see STATUS above).
+
+    The probe must NOT run while tracing an outer jit (tracer inputs): an
+    inner jit call is inlined there, so a backend that cannot lower the
+    kernel would not raise until the *outer* lowering — long after the
+    except. Inside a trace the decision falls back to the backend platform.
+    """
     global _FUSED_OK
     if _FUSED_OK is None:
-        try:
-            small = jnp.zeros((128, 4, 2), jnp.float32)
-            jax.block_until_ready(pairwise_quad_iou_pallas(small, small))
-            _FUSED_OK = True
-        except Exception:
+        if jax.default_backend() != "tpu":
             _FUSED_OK = False
-    if _FUSED_OK and c1.shape[0] % 128 == 0 and c2.shape[0] % 128 == 0:
+        elif not isinstance(c1, jax.core.Tracer):
+            try:
+                small = jnp.zeros((128, 4, 2), jnp.float32)
+                jax.block_until_ready(pairwise_quad_iou_pallas(small, small))
+                _FUSED_OK = True
+            except Exception:
+                _FUSED_OK = False
+        # else: tracing on TPU before any probe — use the platform answer
+        # for this call without caching, so a later eager call still probes.
+    use = _FUSED_OK
+    if use is None:
+        use = jax.default_backend() == "tpu"
+    if use and c1.shape[0] % 64 == 0 and c2.shape[0] % 128 == 0:
         return pairwise_quad_iou_pallas(c1, c2)
     from airv2x_tpu.ops.rotated_iou import pairwise_quad_iou
 
