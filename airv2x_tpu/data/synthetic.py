@@ -205,6 +205,27 @@ def add_camera_inputs(
     return batch
 
 
+def rasterize_seg_labels(boxes, mask, classes, seg_hw: int, seg_res: float):
+    """Rasterize gt boxes into a (seg_hw, seg_hw) dynamic class-id map
+    (BEV square centered on ego, seg_res m/px) — the synthetic stand-in for
+    the dataset's segmentation labels."""
+    half = seg_hw * seg_res / 2
+    xs = (np.arange(seg_hw) + 0.5) * seg_res - half
+    gx, gy = np.meshgrid(xs, xs, indexing="xy")  # (hw, hw) ego-frame
+    out = np.zeros((seg_hw, seg_hw), np.int32)
+    for b, m, c in zip(boxes, mask, classes):
+        if not m:
+            continue
+        cxy, yaw = b[:2], b[6]
+        w_, l_ = b[4], b[5]
+        ca, sa = np.cos(yaw), np.sin(yaw)
+        rx = (gx - cxy[0]) * ca + (gy - cxy[1]) * sa
+        ry = -(gx - cxy[0]) * sa + (gy - cxy[1]) * ca
+        inside = (np.abs(rx) <= l_ / 2) & (np.abs(ry) <= w_ / 2)
+        out[inside] = int(c)
+    return out
+
+
 def make_batch(
     rng: np.random.Generator,
     layout: SlotLayout,
@@ -212,6 +233,8 @@ def make_batch(
     anchors: np.ndarray | None = None,
     anchor_standup: np.ndarray | None = None,
     target_args: dict | None = None,
+    seg_hw: int = 0,
+    seg_res: float = 0.25,
     **scene_kw,
 ):
     """Stack ``batch_size`` scenes; optionally attach anchor targets."""
@@ -247,4 +270,13 @@ def make_batch(
             "targets": np.asarray(tgt.targets),
             "class_ids": np.asarray(tgt.cls_labels),
         }
+    if seg_hw:
+        dyn = np.stack([
+            rasterize_seg_labels(g["boxes"], g["mask"], g["classes"],
+                                 seg_hw, seg_res)
+            for g in gts
+        ])
+        batch.setdefault("labels", {})
+        batch["labels"]["dynamic_seg_label"] = dyn
+        batch["labels"]["static_seg_label"] = np.zeros_like(dyn)
     return batch, gt

@@ -66,6 +66,12 @@ class Communication(nn.Module):
         eval threshold per pixel (BM2CP's modality-aware threshold,
         bm2cp_modules/attentioncomm.py)."""
         b, l, h, w, _ = psm.shape
+        # The comm mask is decided by ranks/thresholds — no gradient flows
+        # through it mathematically. stop_gradient makes that explicit and
+        # avoids an XLA TPU backward-pass crash (SIGABRT in the HLO pass
+        # pipeline) triggered by differentiating the mask chain inside the
+        # multi-scale seg graph.
+        psm = jax.lax.stop_gradient(psm)
         conf = jnp.max(jax.nn.sigmoid(psm), axis=-1)  # (B, L, H, W)
         if self.smooth:
             conf = gaussian_smooth(conf, self.k_size, self.c_sigma)
@@ -161,7 +167,7 @@ class Where2commFusion(nn.Module):
         return ego_agent_attention(grouped, agent_mask)
 
     @nn.compact
-    def __call__(self, x, psm, agent_mask, backbone=None, *, train: bool = False):
+    def __call__(self, x, psm, agent_mask, backbone=None, train: bool = False):
         """x: (B, L, H, W, C) raw BEV features (multi_scale) or 2d features;
         psm: (B, L, H', W', AC) single-agent confidence logits.
 

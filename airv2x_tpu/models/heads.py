@@ -40,9 +40,27 @@ class DetectionHeads(nn.Module):
 
 
 def _bilinear_resize(x, hw):
-    return jax.image.resize(
-        x, x.shape[:-3] + (hw, hw, x.shape[-1]), method="bilinear"
-    )
+    """Bilinear resize via the repo's gather-based grid sampler.
+
+    ``jax.image.resize``'s transposed-gather backward SIGABRTs the TPU
+    compiler in this image when composed into the full seg training graph;
+    grid_sample_bilinear differentiates through plain gathers, which the
+    compiler handles.
+    """
+    from airv2x_tpu.ops.warp import grid_sample_bilinear
+
+    h, w = x.shape[-3], x.shape[-2]
+    # half-pixel centers, clamped to the border (edge semantics like
+    # jax.image.resize rather than zero padding)
+    ys = jnp.clip((jnp.arange(hw, dtype=jnp.float32) + 0.5) * (h / hw) - 0.5,
+                  0.0, h - 1.0)
+    xs = jnp.clip((jnp.arange(hw, dtype=jnp.float32) + 0.5) * (w / hw) - 0.5,
+                  0.0, w - 1.0)
+    gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
+    lead = x.shape[:-3]
+    flat = x.reshape((-1,) + x.shape[-3:])
+    out = jax.vmap(lambda im: grid_sample_bilinear(im, gx, gy))(flat)
+    return out.reshape(lead + (hw, hw, x.shape[-1]))
 
 
 class BevSegHead(nn.Module):

@@ -63,7 +63,13 @@ class Airv2xWhere2comm(nn.Module):
         w2c = args["where2com_fusion"]
         comm = w2c.get("communication", {})
         gauss = comm.get("gaussian_smooth")
-        self.fusion_net = Where2commFusion(
+        # remat: recomputing the fusion forward in the backward both saves
+        # HBM and sidesteps an XLA TPU crash (SIGABRT in the HLO pass
+        # pipeline) when differentiating the multi-scale fusion inside the
+        # seg graph.
+        fusion_cls = nn.remat(Where2commFusion, static_argnums=(4, 5)) \
+            if self.args.get("task") == "seg" else Where2commFusion
+        self.fusion_net = fusion_cls(
             multi_scale=w2c["multi_scale"],
             fully=w2c["fully"],
             threshold=comm.get("threshold", 0.01),
@@ -115,14 +121,14 @@ class Airv2xWhere2comm(nn.Module):
             psm_grouped = psm_single.reshape((b, l) + psm_single.shape[1:])
             if self.multi_scale:
                 fused, rate = self.fusion_net(
-                    x, psm_grouped, batch["agent_mask"], self.backbone, train=train
+                    x, psm_grouped, batch["agent_mask"], self.backbone, train
                 )
                 if self.shrink_flag:
                     fused = self.shrink_conv(fused, train)
             else:
                 grouped = feats_for_fusion.reshape((b, l) + feats_for_fusion.shape[1:])
                 fused, rate = self.fusion_net(
-                    grouped, psm_grouped, batch["agent_mask"], train=train
+                    grouped, psm_grouped, batch["agent_mask"], None, train
                 )
 
             out.update(self.heads(fused))
@@ -133,14 +139,14 @@ class Airv2xWhere2comm(nn.Module):
             conf_grouped = conf.reshape((b, l) + conf.shape[1:])
             if self.multi_scale:
                 fused, rate = self.fusion_net(
-                    x, conf_grouped, batch["agent_mask"], self.backbone, train=train
+                    x, conf_grouped, batch["agent_mask"], self.backbone, train
                 )
                 if self.shrink_flag:
                     fused = self.shrink_conv(fused, train)
             else:
                 grouped = feats_2d.reshape((b, l) + feats_2d.shape[1:])
                 fused, rate = self.fusion_net(
-                    grouped, conf_grouped, batch["agent_mask"], train=train
+                    grouped, conf_grouped, batch["agent_mask"], None, train
                 )
             out.update(self.seg_head(fused))
             out["comm_rate"] = rate

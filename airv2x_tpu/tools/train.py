@@ -64,6 +64,10 @@ def synthetic_batches(hypes, layout, batch_size, steps, seed):
                 if needs_radar
                 else 0
             ),
+            # seg task: rasterized synthetic BEV labels
+            seg_hw=int(hypes.get("seg_hw", 0))
+            if hypes.get("task") == "seg" else 0,
+            seg_res=float(hypes.get("seg_res", 0.25)),
         )
         yield batch
 

@@ -171,6 +171,8 @@ def main():
                 "cpu_scenes_per_sec"
             ]
             vs = scenes_per_sec / cpu
+            with open(cache_path, "w") as f:
+                json.dump({"cpu_scenes_per_sec": cpu}, f)
         except Exception:
             vs = None
     if vs is None and os.path.isfile(cache_path):

@@ -49,3 +49,19 @@ def test_resume_from_model_dir(tmp_path):
     save_yaml(src, os.path.join(tmp_path, "config.yaml"))
     resumed = load_yaml(None, model_dir=str(tmp_path))
     assert resumed["name"] == "tiny_where2comm"
+
+
+def test_all_shipped_configs_load_and_build():
+    """Every yaml under hypes_yaml/airv2x must parse through load_yaml and
+    build its registered model."""
+    import glob
+
+    from airv2x_tpu.models import build_model
+
+    paths = sorted(glob.glob(os.path.join(REPO, "hypes_yaml/airv2x/**/*.yaml"),
+                             recursive=True))
+    assert len(paths) >= 10, paths
+    for p in paths:
+        hypes = load_yaml(p)
+        model = build_model(hypes)
+        assert model is not None, p
