@@ -10,7 +10,6 @@ from __future__ import annotations
 
 import numpy as np
 
-from airv2x_tpu.models.base import SlotLayout  # noqa: F401  (doc reference)
 
 
 def random_world_flip(points, boxes, rng, along=("x",)):

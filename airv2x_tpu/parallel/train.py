@@ -15,7 +15,6 @@ import jax
 import jax.numpy as jnp
 import optax
 from flax import struct
-from jax.sharding import NamedSharding, PartitionSpec as P
 
 
 class TrainState(struct.PyTreeNode):

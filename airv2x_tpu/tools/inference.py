@@ -48,7 +48,6 @@ def main():
         eval_final_results,
         new_result_stat,
     )
-    from airv2x_tpu.loss import build_loss
     from airv2x_tpu.models import build_model
     from airv2x_tpu.models.base import SlotLayout
     from airv2x_tpu.ops import geometry as geo
