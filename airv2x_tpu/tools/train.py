@@ -69,6 +69,30 @@ def synthetic_batches(hypes, layout, batch_size, steps, seed):
             if hypes.get("task") == "seg" else 0,
             seg_res=float(hypes.get("seg_res", 0.25)),
         )
+        # camera-modality configs consume per-type image stacks
+        margs = hypes["model"]["args"]
+        cam_types = [
+            t for t in ("vehicle", "rsu", "drone")
+            if isinstance(margs.get(t), dict)
+            and "cam" in margs[t].get("modalities", [])
+        ]
+        if cam_types:
+            from airv2x_tpu.data.synthetic import add_camera_inputs
+
+            hw = tuple(
+                margs[cam_types[0]]["cam"]["data_aug_conf"]["final_dim"]
+            )
+            cams = []
+            for _b in range(batch_size):
+                one = {"points": batch["points"][_b]}
+                add_camera_inputs(one, layout, rng, img_hw=hw)
+                cams.append(one)
+            for key in cams[0]:
+                if key.startswith("cam_"):
+                    batch[key] = {
+                        kk: np.stack([c[key][kk] for c in cams])
+                        for kk in cams[0][key]
+                    }
         yield batch
 
 
