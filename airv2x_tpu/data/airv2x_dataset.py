@@ -126,6 +126,26 @@ class AirV2XDataset:
             hypes.get("fusion", {}).get("args", {}).get("proj_first", True)
         )
 
+        # camera branch: which agent types consume images, and their LSS
+        # augmentation confs (intermediate_fusion_dataset.get_item_single_car
+        # :490-583 loads + augments per-type cameras)
+        margs = hypes["model"]["args"]
+        self.cam_confs = {}
+        self.cam_depth = {}
+        for tname in AGENT_TYPES:
+            tcfg = margs.get(tname)
+            if isinstance(tcfg, dict) and "cam" in tcfg.get("modalities", []):
+                cam = tcfg["cam"]
+                self.cam_confs[tname] = cam["data_aug_conf"]
+                self.cam_depth[tname] = bool(
+                    cam.get("use_depth_gt") or cam.get("depth_supervision")
+                )
+        # seg task: ego's 7-dynamic + 3-static label maps
+        # (basedataset.py:279-301,885-936)
+        self.load_seg = (
+            hypes.get("task", margs.get("task", "det")) == "seg"
+        )
+
         self.samples = []  # (scenario_path, [sorted timestamp dirs], t_index)
         if os.path.isdir(split_dir):
             for scen in sorted(os.listdir(split_dir)):
@@ -238,6 +258,8 @@ class AirV2XDataset:
 
         from airv2x_tpu.data.native import load_pcd_into
 
+        cam_slots: dict = {tname: {} for tname in self.cam_confs}
+        ego_dir = None
         for tname in AGENT_TYPES:
             sl = self.layout.slots(tname)
             for j, (dist, aid, a) in enumerate(chosen[tname]):
@@ -250,8 +272,31 @@ class AirV2XDataset:
                     )
                 t_cav_ego = tf.pose_a_to_b(pose, ego_pose)
                 pairwise[slot] = t_cav_ego.astype(np.float32)
+                # prior_encoding = [velocity, time_delay, infra]
+                # (intermediate_fusion_dataset.py:222,822-829; velocity =
+                # odometry ego_speed / 30)
+                prior[slot, 0] = (
+                    float(a["meta"]["odometry"].get("ego_speed", 0.0)) / 30.0
+                )
                 prior[slot, 1] = float(t - self._delay_stamp(stamps, t))
                 prior[slot, 2] = float(tname == "rsu")
+                if aid == ego_id:
+                    ego_dir = a["path"]
+
+                if tname in self.cam_confs:
+                    from airv2x_tpu.data.camera import load_agent_cam_inputs
+
+                    cam = load_agent_cam_inputs(
+                        a["path"],
+                        a["meta"],
+                        tname,
+                        self.cam_confs[tname],
+                        self.train,
+                        rng,
+                        with_depth=self.cam_depth[tname],
+                    )
+                    if cam is not None:
+                        cam_slots[tname][slot] = cam
 
                 if a["lidar"] is None:
                     continue
@@ -303,5 +348,32 @@ class AirV2XDataset:
             "pairwise_t_full": pairwise_full,
             "prior_encoding": prior,
         }
+
+        # camera inputs: fixed (L, Ncam, fH, fW, C) per type, zero-filled
+        # outside the type's populated slots
+        for tname, slots_data in cam_slots.items():
+            if not slots_data:
+                continue
+            first = next(iter(slots_data.values()))
+            stacked = {}
+            for key, arr in first.items():
+                full = np.zeros((L,) + arr.shape, arr.dtype)
+                # keep post_rots/intrinsics invertible in empty slots
+                if key in ("post_rots", "intrinsics", "rots"):
+                    full[...] = np.eye(3, dtype=arr.dtype)
+                for slot, cam in slots_data.items():
+                    full[slot] = cam[key]
+                stacked[key] = full
+            batch[f"cam_{tname}"] = stacked
+
+        if self.load_seg and ego_dir is not None:
+            from airv2x_tpu.data.camera import load_seg_labels
+
+            dyn, sta = load_seg_labels(ego_dir)
+            if dyn is not None:
+                batch["dynamic_seg_label"] = dyn.astype(np.int32)
+            if sta is not None:
+                batch["static_seg_label"] = sta.astype(np.int32)
+
         gt = {"boxes": boxes, "mask": mask, "classes": classes}
         return batch, gt

@@ -10,8 +10,12 @@ by native bf16 compute. Checkpoints, loss logs (train_loss.txt /
 validation_loss.txt), config snapshot and run-dir layout mirror the
 reference so downstream tooling works unchanged.
 
-Without the AirV2X dataset on disk (``root_dir`` missing) the synthetic
-scene generator stands in, keeping the full loop exercisable.
+Data: when the hypes' ``root_dir`` exists on disk the loop trains on the
+real AirV2X dataset (directory walk + augmentor + prefetch workers +
+on-device anchor labeling, mirroring tools/train.py:67-102,191-247 of the
+reference); validation uses ``validate_dir``. Only when the dataset
+directory is absent does the synthetic scene generator stand in, keeping
+the full loop exercisable in dataset-less environments.
 """
 
 from __future__ import annotations
@@ -33,7 +37,68 @@ def parse_args():
     p.add_argument("--batch_size", type=int, default=0)
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--half", action="store_true", help="bf16 compute")
+    p.add_argument(
+        "--num_workers", type=int, default=4, help="prefetch workers"
+    )
+    p.add_argument(
+        "--synthetic",
+        action="store_true",
+        help="force synthetic data even if root_dir exists",
+    )
     return p.parse_args()
+
+
+def build_real_loaders(hypes, opt, batch_size):
+    """(train_loader, val_loader|None) when root_dir exists, else None."""
+    root = hypes.get("root_dir") or ""
+    if opt.synthetic or not os.path.isdir(root):
+        return None
+    import jax
+
+    from airv2x_tpu.data.airv2x_dataset import AirV2XDataset, WildSettings
+    from airv2x_tpu.data.loader import RealDataLoader
+
+    wild_cfg = hypes.get("wild_setting", {}) or {}
+    wild = WildSettings(
+        async_mode=bool(wild_cfg.get("async", False)),
+        async_overhead_ms=float(wild_cfg.get("async_overhead", 100)),
+        loc_error=bool(wild_cfg.get("loc_err", False)),
+        xyz_std=float(wild_cfg.get("xyz_std", 0.2)),
+        ryp_std=float(wild_cfg.get("ryp_std", 0.2)),
+    )
+    host_id, num_hosts = jax.process_index(), jax.process_count()
+    train_ds = AirV2XDataset(hypes, root, train=True, wild=wild, seed=opt.seed)
+    if len(train_ds) == 0:
+        return None
+    train_loader = RealDataLoader(
+        train_ds,
+        hypes,
+        batch_size,
+        train=True,
+        seed=opt.seed,
+        num_workers=opt.num_workers,
+        host_id=host_id,
+        num_hosts=num_hosts,
+    )
+    val_loader = None
+    vdir = hypes.get("validate_dir") or ""
+    if os.path.isdir(vdir):
+        val_ds = AirV2XDataset(hypes, vdir, train=False, seed=opt.seed)
+        if len(val_ds):
+            val_loader = RealDataLoader(
+                val_ds,
+                hypes,
+                batch_size,
+                train=False,
+                seed=opt.seed,
+                num_workers=opt.num_workers,
+                host_id=host_id,
+                num_hosts=num_hosts,
+                # static batch shape (no ragged last batch) keeps the eval
+                # step a single compiled program across epochs
+                drop_last=len(val_ds) >= batch_size,
+            )
+    return train_loader, val_loader
 
 
 def synthetic_batches(hypes, layout, batch_size, steps, seed):
@@ -126,9 +191,27 @@ def main():
     tp = hypes["train_params"]
     epochs = opt.epochs or int(tp["epoches"])
     batch_size = opt.batch_size or int(tp["batch_size"])
-    steps_per_epoch = opt.steps_per_epoch or int(tp.get("steps_per_epoch", 50))
     save_freq = int(tp.get("save_freq", 1))
     eval_freq = int(tp.get("eval_freq", 2))
+
+    loaders = build_real_loaders(hypes, opt, batch_size)
+    if loaders is not None:
+        train_loader, val_loader = loaders
+        steps_per_epoch = opt.steps_per_epoch or len(train_loader)
+        print(
+            f"real dataset: {len(train_loader.dataset)} train samples"
+            + (
+                f", {len(val_loader.dataset)} val samples"
+                if val_loader
+                else ", no validate_dir"
+            )
+        )
+    else:
+        train_loader = val_loader = None
+        steps_per_epoch = opt.steps_per_epoch or int(
+            tp.get("steps_per_epoch", 50)
+        )
+        print("dataset not on disk; training on synthetic scenes")
 
     model = build_model(hypes)
     layout = SlotLayout.from_args(hypes["model"]["args"])
@@ -142,7 +225,12 @@ def main():
     )
 
     # init from one example batch
-    example = next(synthetic_batches(hypes, layout, batch_size, 1, opt.seed))
+    if train_loader is not None:
+        example = next(train_loader.batches(epoch=0))
+    else:
+        example = next(
+            synthetic_batches(hypes, layout, batch_size, 1, opt.seed)
+        )
     example = jax.tree.map(jnp.asarray, example)
     variables = jax.jit(lambda r, b: model.init(r, b, train=False))(
         {"params": jax.random.PRNGKey(opt.seed), "comm": jax.random.PRNGKey(1)},
@@ -170,9 +258,14 @@ def main():
         for epoch in range(start_epoch, epochs):
             t0 = time.time()
             losses = []
-            for batch in synthetic_batches(
-                hypes, layout, batch_size, steps_per_epoch, opt.seed + epoch + 1
-            ):
+            if train_loader is not None:
+                epoch_iter = train_loader.batches(epoch=epoch)
+            else:
+                epoch_iter = synthetic_batches(
+                    hypes, layout, batch_size, steps_per_epoch,
+                    opt.seed + epoch + 1,
+                )
+            for batch in epoch_iter:
                 batch = shard_batch(mesh, jax.tree.map(jnp.asarray, batch))
                 state, parts = train_step(state, batch, rng)
                 losses.append(parts)
@@ -191,9 +284,17 @@ def main():
 
             if (epoch + 1) % eval_freq == 0:
                 val_losses = []
-                for batch in synthetic_batches(
-                    hypes, layout, batch_size, max(steps_per_epoch // 5, 1), 777
-                ):
+                if val_loader is not None:
+                    val_iter = val_loader.batches(epoch=0)
+                elif train_loader is not None:
+                    # no validate_dir: reuse the train split un-shuffled
+                    val_iter = train_loader.batches(epoch=0)
+                else:
+                    val_iter = synthetic_batches(
+                        hypes, layout, batch_size,
+                        max(steps_per_epoch // 5, 1), 777,
+                    )
+                for batch in val_iter:
                     batch = shard_batch(mesh, jax.tree.map(jnp.asarray, batch))
                     _, total, _ = eval_step(state, batch)
                     val_losses.append(float(total))

@@ -23,51 +23,13 @@ def test_pcd_roundtrip(tmp_path, rng):
         np.testing.assert_allclose(back, pts, atol=1e-5)
 
 
-def _make_fixture(root, n_timestamps=2, rng=None):
-    """Create a mini AirV2X-format dataset: 2 vehicles + 1 rsu + 1 object."""
-    rng = rng or np.random.default_rng(0)
-    scen = os.path.join(root, "2025_01_01_00_00_00")
-    agent_specs = {
-        1: ("vehicle", [10.0, 5.0, 0.0, 0, 0, 0]),
-        2: ("vehicle", [30.0, -5.0, 0.0, 0, 30.0, 0]),
-        3: ("rsu", [50.0, 0.0, 4.0, 0, 90.0, 0]),
-        4: ("drone", [0.0, 20.0, 60.0, 0, 0, 0]),
-    }
-    for t in range(n_timestamps):
-        tdir = os.path.join(scen, f"timestamp_{t:06d}")
-        for aid, (atype, pose) in agent_specs.items():
-            adir = os.path.join(tdir, f"agent_{aid:06d}")
-            os.makedirs(adir, exist_ok=True)
-            meta = {
-                "agent_type": atype,
-                "odometry": {"ego_pos": list(pose)},
-                "lidar": {"lidar_pose": [0.0, 0.0, 1.9, 0, 0, 0]},
-            }
-            with open(os.path.join(adir, "metadata.pkl"), "wb") as f:
-                pickle.dump(meta, f)
-            # a small cloud around the agent (world frame shifted to sensor frame)
-            pts = rng.normal(scale=10.0, size=(500, 4)).astype(np.float32)
-            pts[:, 2] = rng.uniform(-1.5, 0.5, 500) - 1.9
-            pts[:, 3] = rng.uniform(0, 1, 500)
-            write_pcd(os.path.join(adir, "lidar.pcd"), pts)
-        objects = {
-            77: {
-                "class": 2,
-                "location": [20.0, 0.0, 0.4, 0, 15.0, 0],
-                "center": [0.0, 0.0, 0.0],
-                "extent": [2.0, 0.9, 0.8],
-            },
-            # a far-away object outside range
-            78: {
-                "class": 1,
-                "location": [500.0, 0.0, 0.4, 0, 0, 0],
-                "center": [0.0, 0.0, 0.0],
-                "extent": [2.0, 0.9, 0.8],
-            },
-        }
-        with open(os.path.join(tdir, "objects.pkl"), "wb") as f:
-            pickle.dump(objects, f)
-    return root
+from tests.fixture_utils import (
+    FIXTURE_CAM_TO_LIDAR,
+    FIXTURE_DEPTH_M,
+    FIXTURE_SEG_HW,
+    cam_hypes,
+    make_fixture as _make_fixture,
+)
 
 
 def test_dataset_walk_and_sample(tmp_path):
@@ -112,6 +74,82 @@ def test_dataset_ego_frame_projection(tmp_path):
     np.testing.assert_allclose(
         gt0["boxes"][gt0["mask"]], gt1["boxes"][gt1["mask"]], atol=1e-5
     )
+
+
+def test_dataset_velocity_prior(tmp_path):
+    """prior_encoding[:, 0] = odometry ego_speed / 30
+    (ref intermediate_fusion_dataset.py:222)."""
+    root = _make_fixture(str(tmp_path), ego_speed=18.0)
+    hypes = load_yaml(os.path.join(REPO, "hypes_yaml/test/tiny_where2comm.yaml"))
+    hypes["preprocess"]["max_points"] = 512
+    ds = AirV2XDataset(hypes, root, train=False)
+    batch, _ = ds[0]
+    vel = batch["prior_encoding"][batch["agent_mask"], 0]
+    np.testing.assert_allclose(vel, 18.0 / 30.0, atol=1e-6)
+
+
+def test_dataset_camera_loading(tmp_path):
+    """Cameras + CARLA depth decoded from disk with LSS-axes extrinsics
+    (ref get_item_single_car :490-583, camera_utils.ue4_to_lss :553)."""
+    root = _make_fixture(str(tmp_path), with_camera=True)
+    hypes = load_yaml(os.path.join(REPO, "hypes_yaml/test/tiny_where2comm.yaml"))
+    hypes["preprocess"]["max_points"] = 512
+    hypes = cam_hypes(hypes, types=("vehicle", "rsu"))
+    ds = AirV2XDataset(hypes, root, train=False)
+    batch, _ = ds[0]
+
+    L = ds.layout.total
+    cam = batch["cam_vehicle"]
+    # 2 fixture cameras, eval aug: final_dim (32, 48), rgb + depth channel
+    assert cam["imgs"].shape == (L, 2, 32, 48, 4)
+    assert "cam_rsu" in batch and batch["cam_rsu"]["imgs"].shape[1] == 2
+    assert "cam_drone" not in batch
+
+    # depth channel: constant 20 m (quantized through the 16-bit round trip)
+    d = cam["imgs"][0, 0, :, :, 3]
+    np.testing.assert_allclose(d, FIXTURE_DEPTH_M, atol=0.05)
+    # rgb normalized: imagenet stats -> values roughly in [-3, 3]
+    assert np.abs(cam["imgs"][..., :3]).max() < 4.0
+
+    # extrinsics: rots/trans reproduce the known cam->lidar matrix
+    np.testing.assert_allclose(
+        cam["rots"][0, 0], FIXTURE_CAM_TO_LIDAR[:3, :3], atol=1e-5
+    )
+    np.testing.assert_allclose(
+        cam["trans"][0, 0], FIXTURE_CAM_TO_LIDAR[:3, 3], atol=1e-5
+    )
+    # post homography: eval mode resize 0.5, no crop offset
+    np.testing.assert_allclose(
+        cam["post_rots"][0, 0][:2, :2], np.eye(2) * 0.5, atol=1e-6
+    )
+    # empty slots keep identity rotations
+    empty = (~batch["agent_mask"]).nonzero()[0]
+    if len(empty):
+        s = ds.layout.slots("vehicle")
+        empty_veh = [i for i in empty if s.start <= i < s.stop]
+        for i in empty_veh:
+            np.testing.assert_allclose(cam["rots"][i, 0], np.eye(3))
+
+
+def test_dataset_seg_labels(tmp_path):
+    """7+3 seg maps -> dynamic/static class-id maps with the reference's
+    threshold + transpose + flip (basedataset.py:885-936)."""
+    root = _make_fixture(str(tmp_path), with_seg=True)
+    hypes = load_yaml(os.path.join(REPO, "hypes_yaml/test/tiny_where2comm.yaml"))
+    hypes["preprocess"]["max_points"] = 512
+    hypes["task"] = "seg"
+    ds = AirV2XDataset(hypes, root, train=False)
+    batch, _ = ds[0]
+    dyn = batch["dynamic_seg_label"]
+    sta = batch["static_seg_label"]
+    s = FIXTURE_SEG_HW
+    assert dyn.shape == (s, s) and sta.shape == (s, s)
+    # fixture stripe i occupies rows 4i..4i+4, cols :s//2 in image space;
+    # after label_map.T[:, ::-1] that block is at [: s//2, s-4i-4 : s-4i]
+    for i in range(1, 7):
+        block = dyn[: s // 2, s - 4 * i - 4 : s - 4 * i]
+        assert (block == i).all(), f"layer {i} misplaced"
+    assert set(np.unique(sta)) <= {0, 1, 2}
 
 
 def test_dataset_loc_noise_changes_pairwise(tmp_path):
