@@ -92,11 +92,13 @@ class Communication(nn.Module):
             thr = self.threshold if thres_map is None else thres_map
             comm_mask = (conf > thr).astype(conf.dtype)
 
-        # ego always communicates with itself
-        comm_mask = comm_mask.at[:, 0].set(1.0)
-
+        # rate is measured BEFORE the ego row is forced on
+        # (where2comm_fuse.py:139-146 computes communication_rate, then sets
+        # communication_mask[0] = 1)
         am = agent_mask[:, :, None, None].astype(conf.dtype)
         rate = jnp.sum(comm_mask * am) / jnp.maximum(jnp.sum(am) * h * w, 1.0)
+        # ego always communicates with itself
+        comm_mask = comm_mask.at[:, 0].set(1.0)
         return comm_mask, rate
 
 

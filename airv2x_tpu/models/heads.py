@@ -109,7 +109,11 @@ class BevSegHead(nn.Module):
 
         out = {}
         if self.seg_branch in ("dynamic", "both"):
-            dyn = nn.Conv(self.dynamic_class + 1, (1, 1), dtype=self.dtype,
+            # dynamic_class already includes the background class
+            # (task_heads/segmentation_head.py:21-23 with the shipped
+            # ``dynamic_class: 7`` = bg + 6 foreground, matching the 7-way
+            # [1.]+d_weights CE of vanilla_seg_loss.py:30-33)
+            dyn = nn.Conv(self.dynamic_class, (1, 1), dtype=self.dtype,
                           name="dynamic_head")(x)
             out["dynamic_seg"] = _bilinear_resize(dyn, self.seg_hw)
         if self.seg_branch in ("static", "both"):

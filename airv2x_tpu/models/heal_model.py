@@ -61,6 +61,7 @@ class Airv2xHEAL(nn.Module):
                 dims=shrink["dim"],
                 kernels=shrink["kernal_size"],
                 strides=shrink["stride"],
+                paddings=shrink.get("padding"),
                 dtype=self.dtype,
             )
 

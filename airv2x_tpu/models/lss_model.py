@@ -46,6 +46,7 @@ class LiftSplatShoot(nn.Module):
                 dims=shrink["dim"],
                 kernels=shrink["kernal_size"],
                 strides=shrink["stride"],
+                paddings=shrink.get("padding"),
                 dtype=self.dtype,
             )
         self.task = args["task"]

@@ -85,43 +85,64 @@ class DeconvBNReLU(nn.Module):
         return nn.relu(x)
 
 
-class DownsampleConv(nn.Module):
-    """Shrink head: stacked 1x1 (or kxk) conv+bn+relu
-    (reference common_modules/downsample_conv.py)."""
+class DoubleConv(nn.Module):
+    """Conv(k, s) -> ReLU -> Conv3x3 -> ReLU, biased, no norm — faithful twin
+    of the reference shrink block (common_modules/downsample_conv.py:8-32)."""
 
-    dims: Sequence[int]
-    kernels: Sequence[int]
-    strides: Sequence[int]
+    features: int
+    kernel: int
+    stride: int
+    padding: int = 1
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        for d, k, s in zip(self.dims, self.kernels, self.strides):
-            x = ConvBNReLU(d, kernel=k, stride=s, dtype=self.dtype)(x, train)
+        del train  # no norm layers; signature kept uniform
+        x = nn.Conv(
+            self.features,
+            (self.kernel, self.kernel),
+            strides=(self.stride, self.stride),
+            padding=[(self.padding, self.padding)] * 2,
+            dtype=self.dtype,
+        )(x)
+        x = nn.relu(x)
+        x = nn.Conv(
+            self.features, (3, 3), padding=[(1, 1), (1, 1)], dtype=self.dtype
+        )(x)
+        return nn.relu(x)
+
+
+class DownsampleConv(nn.Module):
+    """Shrink head: stacked DoubleConv blocks
+    (reference common_modules/downsample_conv.py:35-53)."""
+
+    dims: Sequence[int]
+    kernels: Sequence[int]
+    strides: Sequence[int]
+    paddings: Sequence[int] | None = None
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        pads = self.paddings if self.paddings is not None else [1] * len(self.dims)
+        for d, k, s, p in zip(self.dims, self.kernels, self.strides, pads):
+            x = DoubleConv(d, kernel=k, stride=s, padding=p, dtype=self.dtype)(
+                x, train
+            )
         return x
 
 
 class NaiveCompressor(nn.Module):
-    """1x1-conv bottleneck feature compressor
-    (reference common_modules/naive_compress.py)."""
+    """Channel bottleneck compressor, faithful twin of the reference
+    (common_modules/naive_compress.py): encoder Conv-BN-ReLU down to
+    C/ratio, decoder [Conv-BN-ReLU] x 2 back up to C."""
 
     channels: int
     compression_rate: int
     dtype: Dtype = jnp.float32
 
-    @nn.compact
-    def __call__(self, x, train: bool = False):
-        c = self.channels
-        hidden = max(c // max(self.compression_rate, 1), 1)
-        x = nn.Conv(hidden, (3, 3), padding="SAME", dtype=self.dtype)(x)
-        x = nn.BatchNorm(
-            use_running_average=not train,
-            momentum=BN_MOMENTUM,
-            epsilon=BN_EPS,
-            dtype=self.dtype,
-        )(x)
-        x = nn.relu(x)
-        x = nn.Conv(c, (3, 3), padding="SAME", dtype=self.dtype)(x)
+    def _conv_bn_relu(self, x, feats, train):
+        x = nn.Conv(feats, (3, 3), padding=[(1, 1), (1, 1)], dtype=self.dtype)(x)
         x = nn.BatchNorm(
             use_running_average=not train,
             momentum=BN_MOMENTUM,
@@ -129,6 +150,14 @@ class NaiveCompressor(nn.Module):
             dtype=self.dtype,
         )(x)
         return nn.relu(x)
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        c = self.channels
+        hidden = max(c // max(self.compression_rate, 1), 1)
+        x = self._conv_bn_relu(x, hidden, train)  # encoder
+        x = self._conv_bn_relu(x, c, train)  # decoder[0]
+        return self._conv_bn_relu(x, c, train)  # decoder[1]
 
 
 class MaskedBatchNorm(nn.Module):

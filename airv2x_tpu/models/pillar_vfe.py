@@ -22,23 +22,32 @@ from airv2x_tpu.models.nn import MaskedBatchNorm
 
 
 class PFNLayer(nn.Module):
+    """Linear -> BN -> ReLU -> max over the K point rows of each pillar.
+
+    Faithful to the reference PFNLayer (airv2x_pillar_vfe.py:10-49) including
+    its padding semantics: padded point rows are zeroed at the *input*
+    (``features *= mask`` :152-154) but still flow through Linear/BN/ReLU, so
+    every non-full pillar's max includes the relu(bn(0)) constant. BN batch
+    statistics therefore cover all K rows of occupied pillars; the
+    ``pillar_mask`` only excludes the empty pillar *slots* our
+    fixed-capacity layout adds (the reference's ragged M list has none).
+    """
+
     out_channels: int
     use_norm: bool = True
     last_layer: bool = True
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, feats, point_mask, train: bool = False):
-        # feats: (P, K, Cin); point_mask: (P, K)
+    def __call__(self, feats, pillar_mask, train: bool = False):
+        # feats: (P, K, Cin) with padded rows already zeroed; pillar_mask: (P,)
         out_c = self.out_channels if self.last_layer else self.out_channels // 2
         x = nn.Dense(out_c, use_bias=not self.use_norm, dtype=self.dtype)(feats)
         if self.use_norm:
-            x = MaskedBatchNorm(dtype=self.dtype)(x, point_mask, train)
+            row_mask = jnp.broadcast_to(pillar_mask[..., None], x.shape[:-1])
+            x = MaskedBatchNorm(dtype=self.dtype)(x, row_mask, train)
         x = nn.relu(x)
-        neg = jnp.asarray(-1e9, x.dtype)
-        x_masked = jnp.where(point_mask[..., None], x, neg)
-        x_max = jnp.max(x_masked, axis=-2, keepdims=True)  # (P, 1, C)
-        x_max = jnp.where(x_max <= neg / 2, 0.0, x_max)  # empty pillars -> 0
+        x_max = jnp.max(x, axis=-2, keepdims=True)  # (P, 1, C)
         if self.last_layer:
             return x_max[..., 0, :]  # (P, C)
         rep = jnp.broadcast_to(x_max, x.shape[:-1] + (out_c,))
@@ -111,6 +120,7 @@ class PillarVFE(nn.Module):
             dtype=self.dtype,
         )
 
+        del point_mask  # padding handled by input zeroing, as in the reference
         filters = list(self.num_filters)
         for i, out_c in enumerate(filters):
             x = PFNLayer(
@@ -118,6 +128,6 @@ class PillarVFE(nn.Module):
                 use_norm=self.use_norm,
                 last_layer=(i == len(filters) - 1),
                 dtype=self.dtype,
-            )(x, point_mask, train)
+            )(x, pillar_mask, train)
 
         return x * pillar_mask[..., None].astype(x.dtype)  # (P, C)

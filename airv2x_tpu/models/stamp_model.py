@@ -73,6 +73,7 @@ class Airv2xSTAMP(nn.Module):
                 dims=shrink["dim"],
                 kernels=shrink["kernal_size"],
                 strides=shrink["stride"],
+                paddings=shrink.get("padding"),
                 dtype=self.dtype,
             )
         self.task = args["task"]

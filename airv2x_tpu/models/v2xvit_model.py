@@ -54,6 +54,7 @@ class Airv2xV2XViT(nn.Module):
                 dims=shrink["dim"],
                 kernels=shrink["kernal_size"],
                 strides=shrink["stride"],
+                paddings=shrink.get("padding"),
                 dtype=self.dtype,
             )
         self.compression = int(mod.get("compression", 0)) > 0

@@ -154,13 +154,28 @@ class FastPillarBEV(nn.Module):
         from airv2x_tpu.models.nn import MaskedBatchNorm  # lazy: avoids
         # ops <-> models registry import cycle
 
+        # One all-zero probe row rides along (mask False so it never touches
+        # BN statistics): its output is relu(bn(0)) — the constant the
+        # reference's zeroed padding rows contribute to every non-full
+        # pillar's max (airv2x_pillar_vfe.py:152-158). We apply it as a
+        # floor to every occupied cell; the only deviation left is pillars
+        # with exactly max_points_per_voxel points, which have no padding
+        # rows in the reference.
+        probe = jnp.zeros((1, x.shape[-1]), x.dtype)
+        x = jnp.concatenate([x, probe], axis=0)
+        valid_ext = jnp.concatenate([valid, jnp.zeros((1,), bool)])
         x = nn.Dense(out_c, use_bias=not self.use_norm, dtype=self.dtype)(x)
         if self.use_norm:
-            x = MaskedBatchNorm(dtype=self.dtype)(x, valid, train)
+            x = MaskedBatchNorm(dtype=self.dtype)(x, valid_ext, train)
         x = nn.relu(x)
+        pad_floor = x[-1]  # (C,)
+        x = x[:-1]
 
         neg = jnp.asarray(-1e9, x.dtype)
         x = jnp.where(valid[:, None], x, neg)
         grid = jnp.full((m * cells, out_c), neg, x.dtype).at[gids].max(x)
-        grid = jnp.where(grid <= neg / 2, 0.0, grid)  # empty cells -> 0
+        occupied = grid > neg / 2
+        grid = jnp.where(
+            occupied, jnp.maximum(grid, pad_floor[None, :]), 0.0
+        )
         return grid.reshape(lead + (ny, nx, out_c))

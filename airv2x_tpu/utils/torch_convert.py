@@ -1,0 +1,391 @@
+"""torch -> flax checkpoint conversion.
+
+Maps reference PyTorch state dicts into airv2x_tpu flax variable pytrees,
+reproducing the reference loader's semantics (tools/train_utils.py:90-252):
+``module.`` DDP-prefix stripping, shape-mismatch skip (with a warning), and
+partial loading (keys the target model does not have are reported, not
+fatal).
+
+Tensor layout rules (torch -> flax):
+  * Linear weight    (O, I)        -> kernel (I, O)
+  * Conv2d weight    (O, I, kh, kw)-> kernel (kh, kw, I, O)      [NHWC/HWIO]
+  * ConvTranspose2d  (I, O, kh, kw)-> kernel (kh, kw, I, O), spatially
+    flipped: torch's transposed conv scatters the kernel as-is while
+    ``lax.conv_transpose`` correlates, so w[:, :, ::-1, ::-1] makes the two
+    numerically identical (verified by tests/test_torch_parity.py).
+  * BatchNorm{1,2}d weight/bias    -> params scale/bias;
+    running_mean/var               -> batch_stats mean/var.
+
+Structure mapping is per model family; see ``CONVERTERS``. Every converter
+works on a ``TorchState`` scope (tracks consumed keys so leftovers are
+reported) and an ``Assigner`` over the flax variables.
+"""
+
+from __future__ import annotations
+
+import logging
+from typing import Any, Callable
+
+import numpy as np
+
+log = logging.getLogger(__name__)
+
+# --------------------------------------------------------------------------
+# tensor-level converters
+
+
+def to_np(t) -> np.ndarray:
+    if hasattr(t, "detach"):
+        t = t.detach().cpu().numpy()
+    return np.asarray(t)
+
+
+def linear_kernel(w) -> np.ndarray:
+    return to_np(w).T
+
+
+def conv_kernel(w) -> np.ndarray:
+    return to_np(w).transpose(2, 3, 1, 0)
+
+
+def deconv_kernel(w) -> np.ndarray:
+    w = to_np(w)
+    return w[:, :, ::-1, ::-1].transpose(2, 3, 0, 1)
+
+
+# --------------------------------------------------------------------------
+# state-dict scoping + flax-tree assignment
+
+
+def strip_module_prefix(sd: dict) -> dict:
+    """DDP saves ``module.``-prefixed keys (train_utils.py:96-101)."""
+    return {
+        (k[len("module."):] if k.startswith("module.") else k): v
+        for k, v in sd.items()
+    }
+
+
+class TorchState:
+    """A prefix-scoped view over a torch state dict with consumption
+    tracking, so conversion can report exactly which source tensors were
+    left unmapped."""
+
+    def __init__(self, sd: dict, prefix: str = "", _consumed: set | None = None):
+        self._sd = sd
+        self.prefix = prefix
+        self.consumed = _consumed if _consumed is not None else set()
+
+    def sub(self, prefix: str) -> "TorchState":
+        p = f"{self.prefix}{prefix}" if self.prefix else prefix
+        return TorchState(self._sd, p + ".", self.consumed)
+
+    def __contains__(self, key: str) -> bool:
+        return self.prefix + key in self._sd
+
+    def get(self, key: str):
+        full = self.prefix + key
+        self.consumed.add(full)
+        return self._sd[full]
+
+    def keys(self):
+        return [k for k in self._sd if k.startswith(self.prefix)]
+
+    def leftovers(self):
+        return sorted(set(self._sd) - self.consumed)
+
+
+class Assigner:
+    """Writes converted tensors into a mutable copy of flax ``variables``.
+
+    Shape mismatches are skipped with a warning — the reference's partial /
+    heterogeneous checkpoint loading behaviour (train_utils.py:216-248).
+    """
+
+    def __init__(self, variables: dict):
+        import jax
+
+        self.variables = jax.tree.map(lambda x: x, variables)  # shallow-ish copy
+        self.assigned: list[str] = []
+        self.skipped: list[str] = []
+
+    def _resolve(self, col: str, path: tuple):
+        node = self.variables.get(col)
+        if node is None:
+            return None, None
+        for p in path[:-1]:
+            if not isinstance(node, dict) or p not in node:
+                return None, None
+            node = node[p]
+        if not isinstance(node, dict) or path[-1] not in node:
+            return None, None
+        return node, path[-1]
+
+    def put(self, col: str, path: tuple, value: np.ndarray):
+        name = f"{col}/" + "/".join(path)
+        node, leaf = self._resolve(col, path)
+        if node is None:
+            self.skipped.append(f"{name} (missing in target)")
+            return
+        tgt = node[leaf]
+        if tuple(tgt.shape) != tuple(value.shape):
+            self.skipped.append(
+                f"{name} (shape {tuple(value.shape)} vs target {tuple(tgt.shape)})"
+            )
+            return
+        node[leaf] = value.astype(np.asarray(tgt).dtype)
+        self.assigned.append(name)
+
+
+# --------------------------------------------------------------------------
+# module-level converters (torch scope -> flax paths)
+
+
+def convert_linear(ts: TorchState, asg: Assigner, path: tuple, *, scope=""):
+    s = ts.sub(scope) if scope else ts
+    asg.put("params", path + ("kernel",), linear_kernel(s.get("weight")))
+    if "bias" in s:
+        asg.put("params", path + ("bias",), to_np(s.get("bias")))
+
+
+def convert_conv(ts: TorchState, asg: Assigner, path: tuple, *, scope=""):
+    s = ts.sub(scope) if scope else ts
+    asg.put("params", path + ("kernel",), conv_kernel(s.get("weight")))
+    if "bias" in s:
+        asg.put("params", path + ("bias",), to_np(s.get("bias")))
+
+
+def convert_deconv(ts: TorchState, asg: Assigner, path: tuple, *, scope=""):
+    s = ts.sub(scope) if scope else ts
+    asg.put("params", path + ("kernel",), deconv_kernel(s.get("weight")))
+    if "bias" in s:
+        asg.put("params", path + ("bias",), to_np(s.get("bias")))
+
+
+def convert_bn(ts: TorchState, asg: Assigner, path: tuple, *, scope=""):
+    """BatchNorm / MaskedBatchNorm: params scale/bias + batch_stats mean/var."""
+    s = ts.sub(scope) if scope else ts
+    asg.put("params", path + ("scale",), to_np(s.get("weight")))
+    asg.put("params", path + ("bias",), to_np(s.get("bias")))
+    asg.put("batch_stats", path + ("mean",), to_np(s.get("running_mean")))
+    asg.put("batch_stats", path + ("var",), to_np(s.get("running_var")))
+    if "num_batches_tracked" in s:
+        s.get("num_batches_tracked")  # consume; flax has no equivalent
+
+
+def convert_pillar_vfe(
+    ts: TorchState, asg: Assigner, base: tuple, *, fast: bool, num_layers: int = 1
+):
+    """Reference PillarVFE (airv2x_pillar_vfe.py:52-160: pfn_layers.N with
+    linear + BatchNorm1d) -> PillarVFE (PFNLayer_i/Dense_0 +
+    MaskedBatchNorm_0) or FastPillarBEV (Dense_0 + MaskedBatchNorm_0)."""
+    for i in range(num_layers):
+        layer = ts.sub(f"pfn_layers.{i}")
+        if fast:
+            if num_layers != 1:
+                raise ValueError("fast pillar path is single-PFN-layer only")
+            dst = base
+        else:
+            dst = base + (f"PFNLayer_{i}",)
+        convert_linear(layer, asg, dst + ("Dense_0",), scope="linear")
+        if "norm.weight" in layer:
+            convert_bn(layer, asg, dst + ("MaskedBatchNorm_0",), scope="norm")
+
+
+def convert_bev_backbone(
+    ts: TorchState, asg: Assigner, base: tuple, *, layer_nums, upsample_strides=()
+):
+    """BaseBEVBackbone (base_bev_backbone.py:6-154) -> stages_i/deblocks_i.
+
+    Torch block i is Sequential[ZeroPad2d, Conv, BN, ReLU, (Conv, BN, ReLU)
+    x layer_nums[i]] so convs sit at 1+3k and BNs at 2+3k. Deblock i is
+    Sequential[ConvTranspose|Conv, BN, ReLU].
+    """
+    for i, n in enumerate(layer_nums):
+        blk = ts.sub(f"blocks.{i}")
+        for k in range(n + 1):
+            dst = base + (f"stages_{i}", f"ConvBNReLU_{k}")
+            convert_conv(blk, asg, dst + ("Conv_0",), scope=f"{1 + 3 * k}")
+            convert_bn(blk, asg, dst + ("BatchNorm_0",), scope=f"{2 + 3 * k}")
+    n_deblocks = len(upsample_strides)
+    for i in range(n_deblocks):
+        deb = ts.sub(f"deblocks.{i}")
+        if f"deblocks.{i}.0.weight" not in ts:
+            continue
+        if i >= len(layer_nums):
+            dst = base + ("final_deblock",)
+        else:
+            dst = base + (f"deblocks_{i}",)
+        stride = upsample_strides[i]
+        if stride >= 1:
+            convert_deconv(deb, asg, dst + ("ConvTranspose_0",), scope="0")
+        else:
+            convert_conv(deb, asg, dst + ("Conv_0",), scope="0")
+        convert_bn(deb, asg, dst + ("BatchNorm_0",), scope="1")
+
+
+def convert_downsample_conv(ts: TorchState, asg: Assigner, base: tuple, *, n_layers):
+    """DownsampleConv (downsample_conv.py:35-53): layers.i.double_conv.{0,2}
+    -> DoubleConv_i/Conv_{0,1}."""
+    for i in range(n_layers):
+        dc = ts.sub(f"layers.{i}.double_conv")
+        dst = base + (f"DoubleConv_{i}",)
+        convert_conv(dc, asg, dst + ("Conv_0",), scope="0")
+        convert_conv(dc, asg, dst + ("Conv_1",), scope="2")
+
+
+def convert_naive_compressor(ts: TorchState, asg: Assigner, base: tuple):
+    """NaiveCompressor (naive_compress.py): encoder.{0,1} + decoder.{0,1,3,4}
+    -> Conv_i/BatchNorm_i, i in 0..2."""
+    for i, (scope_conv, scope_bn) in enumerate(
+        [("encoder.0", "encoder.1"), ("decoder.0", "decoder.1"),
+         ("decoder.3", "decoder.4")]
+    ):
+        convert_conv(ts, asg, base + (f"Conv_{i}",), scope=scope_conv)
+        convert_bn(ts, asg, base + (f"BatchNorm_{i}",), scope=scope_bn)
+
+
+def convert_det_heads(ts: TorchState, asg: Assigner, base: tuple = ("heads",)):
+    for head in ("cls_head", "reg_head", "obj_head"):
+        if f"{head}.weight" in ts:
+            convert_conv(ts, asg, base + (head,), scope=head)
+
+
+def convert_seg_head(ts: TorchState, asg: Assigner, base: tuple = ("seg_head",)):
+    for head in ("dynamic_head", "static_head"):
+        if f"seg_head.{head}.weight" in ts:
+            convert_conv(ts, asg, base + (head,), scope=f"seg_head.{head}")
+
+
+def _encoder_scopes(args: dict):
+    """Yield (agent_type, modality, torch_scope) for the reference's
+    per-type encoder ModuleLists (airv2x_base_model.py:36-103):
+    ``{veh,rsu,drone}_models.<modality_index>`` — lidar entries are
+    Sequential(PillarVFE, Scatter) so the VFE lives at ``.0``."""
+    prefix = {"vehicle": "veh_models", "rsu": "rsu_models", "drone": "drone_models"}
+    for t in ("vehicle", "rsu", "drone"):
+        if t not in args.get("collaborators", []):
+            continue
+        for mi, m in enumerate(args[t]["modalities"]):
+            scope = f"{prefix[t]}.{mi}"
+            yield t, m, (scope + ".0") if m == "lidar" else scope
+
+
+def convert_hetero_encoder(ts: TorchState, asg: Assigner, args: dict):
+    """Per-agent-type lidar encoders -> encoder/{type}_pillar_vfe."""
+    pre = args.get("preprocess") or {}
+    fast_cfg = bool((pre.get("args") or {}).get("fast_pillars", True))
+    for t, m, scope in _encoder_scopes(args):
+        if m != "lidar":
+            continue  # camera LSS conversion handled separately when present
+        nf = args[t]["lidar"]["pillar_vfe"]["num_filters"]
+        fast = fast_cfg and len(nf) == 1
+        convert_pillar_vfe(
+            ts.sub(scope),
+            asg,
+            ("encoder", f"{t}_pillar_vfe"),
+            fast=fast,
+            num_layers=len(nf),
+        )
+
+
+# --------------------------------------------------------------------------
+# model-family converters
+
+
+def convert_airv2x_where2comm(sd: dict, variables: dict, hypes: dict) -> Assigner:
+    """Airv2xWhere2com (models/airv2x_where2com.py) -> Airv2xWhere2comm."""
+    args = dict(hypes["model"]["args"])
+    args.setdefault("preprocess", hypes.get("preprocess"))
+    ts = TorchState(strip_module_prefix(sd))
+    asg = Assigner(variables)
+
+    convert_hetero_encoder(ts, asg, args)
+
+    bb = args["modality_fusion"]["base_bev_backbone"]
+    convert_bev_backbone(
+        ts.sub("backbone"),
+        asg,
+        ("backbone",),
+        layer_nums=bb["layer_nums"],
+        upsample_strides=bb["upsample_strides"],
+    )
+
+    shrink = args["modality_fusion"].get("shrink_header", {})
+    if shrink.get("use"):
+        convert_downsample_conv(
+            ts.sub("shrink_conv"), asg, ("shrink_conv",), n_layers=len(shrink["dim"])
+        )
+    if int(args["modality_fusion"].get("compression", 0)) > 0:
+        convert_naive_compressor(ts.sub("naive_compressor"), asg, ("compressor",))
+
+    if args["task"] == "det":
+        convert_det_heads(ts, asg)
+    else:
+        convert_seg_head(ts, asg)
+
+    # fusion_net: AttentionFusion has no parameters; the gaussian comm filter
+    # is a frozen constant we re-derive analytically (where2comm_fuse.py:66-81)
+    for k in list(ts.sub("fusion_net").keys()):
+        ts.consumed.add(k)
+    asg.torch_leftovers = ts.leftovers()
+    return asg
+
+
+def convert_point_pillar_intermediate(sd: dict, variables: dict, hypes: dict):
+    """point_pillar_intermediate.py (single-encoder PointPillars + fusion):
+    pillar_vfe + scatter + backbone + shrink/compress + heads."""
+    args = dict(hypes["model"]["args"])
+    args.setdefault("preprocess", hypes.get("preprocess"))
+    ts = TorchState(strip_module_prefix(sd))
+    asg = Assigner(variables)
+
+    pre = args.get("preprocess") or {}
+    nf = args["pillar_vfe"]["num_filters"]
+    fast = bool((pre.get("args") or {}).get("fast_pillars", True)) and len(nf) == 1
+    convert_pillar_vfe(
+        ts.sub("pillar_vfe"), asg, ("pillar_vfe",), fast=fast, num_layers=len(nf)
+    )
+    bb = args["base_bev_backbone"]
+    convert_bev_backbone(
+        ts.sub("backbone"),
+        asg,
+        ("backbone",),
+        layer_nums=bb["layer_nums"],
+        upsample_strides=bb.get("upsample_strides", ()),
+    )
+    shrink = args.get("shrink_header", {})
+    if shrink.get("use"):
+        convert_downsample_conv(
+            ts.sub("shrink_conv"), asg, ("shrink_conv",), n_layers=len(shrink["dim"])
+        )
+    if int(args.get("compression", 0)) > 0:
+        convert_naive_compressor(ts.sub("naive_compressor"), asg, ("compressor",))
+    convert_det_heads(ts, asg)
+    asg.torch_leftovers = ts.leftovers()
+    return asg
+
+
+CONVERTERS: dict[str, Callable[[dict, dict, dict], Assigner]] = {
+    "airv2x_where2comm": convert_airv2x_where2comm,
+    "airv2x_where2com": convert_airv2x_where2comm,
+    "point_pillar_intermediate": convert_point_pillar_intermediate,
+}
+
+
+def convert_state_dict(sd: dict, variables: dict, hypes: dict) -> Assigner:
+    """Dispatch on ``hypes['model']['core_method']``; returns the Assigner
+    whose ``.variables`` is the converted flax tree and whose ``assigned`` /
+    ``skipped`` lists describe the mapping."""
+    name = hypes["model"]["core_method"]
+    if name not in CONVERTERS:
+        raise KeyError(
+            f"no torch converter for model '{name}' (have: {sorted(CONVERTERS)})"
+        )
+    if "model_state_dict" in sd:  # reference checkpoint wrapper dicts
+        sd = sd["model_state_dict"]
+    elif "state_dict" in sd:
+        sd = sd["state_dict"]
+    asg = CONVERTERS[name](sd, variables, hypes)
+    for msg in asg.skipped:
+        log.warning("checkpoint convert: skipped %s", msg)
+    return asg

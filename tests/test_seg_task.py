@@ -40,7 +40,9 @@ def test_seg_forward_and_loss():
     )
     out = model.apply(variables, batch, train=False)
     hw = hypes["seg_hw"]
-    assert out["dynamic_seg"].shape == (1, hw, hw, 8)  # 7 dynamic + bg
+    # dynamic_class=7 includes the background class (reference
+    # segmentation_head.py passes dynamic_class straight to the 1x1 conv)
+    assert out["dynamic_seg"].shape == (1, hw, hw, 7)
     assert out["static_seg"].shape == (1, hw, hw, 3)
     assert np.isfinite(np.asarray(out["dynamic_seg"])).all()
 

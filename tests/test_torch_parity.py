@@ -1,0 +1,617 @@
+"""Numeric parity vs the actual reference torch modules.
+
+These tests import the reference PyTorch implementations from
+/root/reference (torch CPU), copy their randomly-initialised weights into
+the flax twins via airv2x_tpu.utils.torch_convert, and assert the outputs
+match. This is the load-bearing evidence for the checkpoint converter: if
+module-level and end-to-end forward parity holds for converted weights, a
+released reference checkpoint converts into an equivalent flax model.
+
+Reference anchors: models/common_modules/{airv2x_pillar_vfe, base_bev_backbone,
+downsample_conv, naive_compress}.py, models/where2comm_modules/where2comm_fuse.py,
+models/airv2x_where2com.py.
+"""
+
+import sys
+import types
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+sys.path.insert(0, "/root/reference")
+
+
+# The reference package imports several libraries this image lacks
+# (efficientnet_pytorch, torchvision, shapely, pyquaternion, spconv, ...)
+# on module import, even though the lidar-only modules under test never use
+# them. Stub the missing ones with permissive dummies so the reference code
+# imports; anything that actually touched a stub would fail loudly.
+class _AnyStub:
+    def __init__(self, *a, **k):
+        pass
+
+    def __call__(self, *a, **k):
+        return a[0] if a else None
+
+
+def _stub_module(name, **attrs):
+    m = types.ModuleType(name)
+    for k, v in attrs.items():
+        setattr(m, k, v)
+
+    def _ga(n):
+        if n.startswith("__"):
+            raise AttributeError(n)
+        return type(n, (_AnyStub,), {})
+
+    m.__getattr__ = _ga
+    sys.modules.setdefault(name, m)
+    return sys.modules[name]
+
+
+for _n in (
+    "efficientnet_pytorch", "pyquaternion", "pypcd", "open3d",
+    "spconv", "spconv.pytorch", "spconv.utils", "cumm", "cumm.tensorview",
+):
+    _stub_module(_n)
+_stub_module("icecream", ic=lambda *a, **k: (a[0] if a else None))
+_tv = _stub_module("torchvision")
+_tvm = _stub_module("torchvision.models")
+_tvr = _stub_module("torchvision.models.resnet")
+_tvt = _stub_module("torchvision.transforms")
+_tv.models, _tv.transforms, _tvm.resnet = _tvm, _tvt, _tvr
+_sh = _stub_module("shapely")
+_sh.geometry = _stub_module("shapely.geometry")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from airv2x_tpu.utils import torch_convert as tc  # noqa: E402
+
+jax.config.update("jax_default_matmul_precision", "highest")
+
+
+def _bn_randomize(bn, rng):
+    with torch.no_grad():
+        bn.weight.copy_(torch.tensor(rng.normal(1.0, 0.2, bn.weight.shape[0])))
+        bn.bias.copy_(torch.tensor(rng.normal(0.0, 0.2, bn.bias.shape[0])))
+        bn.running_mean.copy_(
+            torch.tensor(rng.normal(0.0, 0.5, bn.running_mean.shape[0]))
+        )
+        bn.running_var.copy_(
+            torch.tensor(rng.uniform(0.5, 2.0, bn.running_var.shape[0]))
+        )
+
+
+def randomize_batchnorms(module, rng):
+    for m in module.modules():
+        if isinstance(
+            m, (torch.nn.BatchNorm1d, torch.nn.BatchNorm2d, torch.nn.BatchNorm3d)
+        ):
+            _bn_randomize(m, rng)
+
+
+def nchw(x):  # flax NHWC -> torch NCHW numpy
+    return np.asarray(x).transpose(0, 3, 1, 2)
+
+
+def nhwc(t):  # torch NCHW -> flax NHWC numpy
+    return t.detach().numpy().transpose(0, 2, 3, 1)
+
+
+def assert_close(a, b, atol=2e-4, rtol=2e-4, what=""):
+    a, b = np.asarray(a, np.float64), np.asarray(b, np.float64)
+    err = np.abs(a - b).max()
+    assert err <= atol + rtol * np.abs(b).max(), (
+        f"{what}: max abs err {err:.3e} (scale {np.abs(b).max():.3e})"
+    )
+
+
+# --------------------------------------------------------------------------
+
+
+def test_backbone_parity(rng):
+    from opencood.models.common_modules.base_bev_backbone import BaseBEVBackbone
+
+    from airv2x_tpu.models.bev_backbone import BaseBEVBackbone as FlaxBackbone
+
+    cfg = {
+        "layer_nums": [2, 1],
+        "layer_strides": [2, 2],
+        "num_filters": [16, 32],
+        "upsample_strides": [1, 2],
+        "num_upsample_filter": [16, 16],
+    }
+    torch.manual_seed(0)
+    ref = BaseBEVBackbone(cfg, 16).eval()
+    randomize_batchnorms(ref, rng)
+
+    model = FlaxBackbone(
+        layer_nums=cfg["layer_nums"],
+        layer_strides=cfg["layer_strides"],
+        num_filters=cfg["num_filters"],
+        upsample_strides=cfg["upsample_strides"],
+        num_upsample_filters=cfg["num_upsample_filter"],
+    )
+    x = rng.normal(size=(2, 32, 32, 16)).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x), train=False)
+
+    asg = tc.Assigner(variables)
+    ts = tc.TorchState(ref.state_dict())
+    tc.convert_bev_backbone(
+        ts, asg, (), layer_nums=cfg["layer_nums"],
+        upsample_strides=cfg["upsample_strides"],
+    )
+    assert not asg.skipped, asg.skipped
+    # every flax param leaf must have been written
+    from flax.traverse_util import flatten_dict
+
+    n_leaves = sum(len(flatten_dict(variables[c])) for c in variables)
+    assert len(asg.assigned) == n_leaves
+
+    with torch.no_grad():
+        out_ref = ref({"spatial_features": torch.tensor(nchw(x))})[
+            "spatial_features_2d"
+        ]
+    out, _ = model.apply(asg.variables, jnp.asarray(x), train=False)
+    assert_close(nchw(out), out_ref.numpy(), what="backbone 2d")
+
+
+def test_downsample_conv_parity(rng):
+    from opencood.models.common_modules.downsample_conv import DownsampleConv
+
+    from airv2x_tpu.models.nn import DownsampleConv as FlaxDown
+
+    cfg = {
+        "input_dim": 24,
+        "dim": [16, 16],
+        "kernal_size": [3, 1],
+        "stride": [2, 1],
+        "padding": [1, 0],
+    }
+    torch.manual_seed(1)
+    ref = DownsampleConv(cfg).eval()
+    model = FlaxDown(
+        dims=cfg["dim"], kernels=cfg["kernal_size"], strides=cfg["stride"],
+        paddings=cfg["padding"],
+    )
+    x = rng.normal(size=(2, 16, 16, 24)).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    asg = tc.Assigner(variables)
+    tc.convert_downsample_conv(
+        tc.TorchState(ref.state_dict()), asg, (), n_layers=len(cfg["dim"])
+    )
+    assert not asg.skipped, asg.skipped
+    with torch.no_grad():
+        out_ref = ref(torch.tensor(nchw(x)))
+    out = model.apply(asg.variables, jnp.asarray(x))
+    assert_close(nchw(out), out_ref.numpy(), what="downsample_conv")
+
+
+def test_naive_compressor_parity(rng):
+    from opencood.models.common_modules.naive_compress import NaiveCompressor
+
+    from airv2x_tpu.models.nn import NaiveCompressor as FlaxComp
+
+    torch.manual_seed(2)
+    ref = NaiveCompressor(16, 4).eval()
+    randomize_batchnorms(ref, rng)
+    model = FlaxComp(16, 4)
+    x = rng.normal(size=(2, 8, 8, 16)).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x), train=False)
+    asg = tc.Assigner(variables)
+    tc.convert_naive_compressor(tc.TorchState(ref.state_dict()), asg, ())
+    assert not asg.skipped, asg.skipped
+    with torch.no_grad():
+        out_ref = ref(torch.tensor(nchw(x)))
+    out = model.apply(asg.variables, jnp.asarray(x), train=False)
+    assert_close(nchw(out), out_ref.numpy(), what="naive_compressor")
+
+
+def test_pillar_vfe_parity(rng):
+    """Reference PillarVFE (ragged M voxels) vs flax PillarVFE (fixed P,
+    masked) on identical voxel contents, eval mode."""
+    from opencood.models.common_modules.airv2x_pillar_vfe import PillarVFE
+
+    from airv2x_tpu.models.pillar_vfe import PillarVFE as FlaxVFE
+
+    voxel_size = [0.4, 0.4, 4.0]
+    lidar_range = [-8.0, -8.0, -3.0, 8.0, 8.0, 1.0]
+    cfg = {
+        "use_norm": True,
+        "with_distance": False,
+        "use_absolute_xyz": True,
+        "num_filters": [16],
+    }
+    torch.manual_seed(3)
+    ref = PillarVFE(cfg, 4, voxel_size, lidar_range, "vehicle").eval()
+    randomize_batchnorms(ref, rng)
+
+    m_real, p_cap, k = 40, 48, 8
+    voxels = np.zeros((p_cap, k, 4), np.float32)
+    num_points = np.zeros((p_cap,), np.int32)
+    coords = np.zeros((p_cap, 3), np.int32)  # zyx
+    occupied = rng.choice(40 * 40, size=m_real, replace=False)
+    for i, cell in enumerate(occupied):
+        cy, cx = divmod(int(cell), 40)
+        n = int(rng.integers(1, k + 1))
+        num_points[i] = n
+        coords[i] = (0, cy, cx)
+        base = np.array(
+            [lidar_range[0] + (cx + 0.5) * 0.4, lidar_range[1] + (cy + 0.5) * 0.4,
+             -1.0, 0.0],
+            np.float32,
+        )
+        voxels[i, :n] = base + rng.normal(0, 0.1, (n, 4)).astype(np.float32)
+    pillar_mask = num_points > 0
+
+    batch_dict = {
+        "vehicle": {
+            "batch_merged_lidar_features_torch": {
+                "voxel_features": torch.tensor(voxels[:m_real]),
+                "voxel_num_points": torch.tensor(num_points[:m_real]),
+                "voxel_coords": torch.tensor(
+                    np.concatenate(
+                        [np.zeros((m_real, 1), np.int32), coords[:m_real]], axis=1
+                    )
+                ),
+            }
+        }
+    }
+    with torch.no_grad():
+        out_ref = ref(batch_dict)["pillar_features"].numpy()  # (M, C)
+
+    model = FlaxVFE(
+        num_filters=cfg["num_filters"], voxel_size=voxel_size,
+        lidar_range=lidar_range, use_norm=True,
+    )
+    args = (
+        jnp.asarray(voxels), jnp.asarray(num_points), jnp.asarray(coords),
+        jnp.asarray(pillar_mask),
+    )
+    variables = model.init(jax.random.PRNGKey(0), *args, train=False)
+    asg = tc.Assigner(variables)
+    tc.convert_pillar_vfe(
+        tc.TorchState(ref.state_dict()), asg, (), fast=False, num_layers=1
+    )
+    assert not asg.skipped, asg.skipped
+    out = model.apply(asg.variables, *args, train=False)
+    assert_close(np.asarray(out)[:m_real], out_ref, what="pillar_vfe")
+
+
+def test_communication_mask_parity(rng):
+    """Eval-mode comm mask: sigmoid -> max -> frozen gaussian -> threshold."""
+    from opencood.models.where2comm_modules.where2comm_fuse import Communication
+
+    from airv2x_tpu.models.fusion.where2comm import Communication as FlaxComm
+
+    args = {
+        "threshold": 0.35,
+        "gaussian_smooth": {"k_size": 5, "c_sigma": 1.0},
+    }
+    ref = Communication(args).eval()
+    l, h, w, ac = 3, 12, 12, 4
+    psm = rng.normal(size=(1, l, h, w, ac)).astype(np.float32) * 2
+
+    # reference: list of per-sample (L, AC, H, W) confidence maps
+    maps = [torch.tensor(psm[0].transpose(0, 3, 1, 2))]
+    with torch.no_grad():
+        mask_ref, rate_ref = ref(maps, 1)
+    mask_ref = mask_ref.numpy()[:, 0]  # (L, H, W)
+
+    model = FlaxComm(threshold=args["threshold"], smooth=True, k_size=5, c_sigma=1.0)
+    agent_mask = jnp.ones((1, l), bool)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(psm), agent_mask, train=False
+    )
+    mask, rate = model.apply(variables, jnp.asarray(psm), agent_mask, train=False)
+    np.testing.assert_array_equal(np.asarray(mask)[0], mask_ref)
+    assert abs(float(rate) - float(rate_ref)) < 1e-6
+
+
+def test_attention_fusion_parity(rng):
+    from opencood.models.where2comm_modules.where2comm_fuse import AttentionFusion
+
+    from airv2x_tpu.models.fusion.common import ego_agent_attention
+
+    c, l, h, w = 16, 3, 6, 6
+    ref = AttentionFusion(c).eval()
+    x = rng.normal(size=(1, l, h, w, c)).astype(np.float32)
+    with torch.no_grad():
+        out_ref = ref(torch.tensor(x[0].transpose(0, 3, 1, 2))).numpy()  # (C, H, W)
+    out = ego_agent_attention(jnp.asarray(x), jnp.ones((1, l), bool))
+    assert_close(nchw(out)[0], out_ref, what="attention_fusion")
+
+
+# --------------------------------------------------------------------------
+# end-to-end where2comm parity
+
+
+def _parity_hypes():
+    """Small but structurally real where2comm det config (C=64 grid 32x32)."""
+    lidar_range = [-6.4, -6.4, -3.0, 6.4, 6.4, 1.0]
+    pillar = {
+        "use_norm": True,
+        "with_distance": False,
+        "use_absolute_xyz": True,
+        "num_filters": [64],
+    }
+
+    def agent(lrange, vsize):
+        return {
+            "modalities": ["lidar"],
+            "lidar": {
+                "voxel_size": vsize,
+                "lidar_range": lrange,
+                "pillar_vfe": dict(pillar),
+                "point_pillar_scatter": {
+                    "num_features": 64,
+                    "grid_size": [32, 32, 1],
+                },
+            },
+        }
+
+    return {
+        "name": "parity_where2comm",
+        "yaml_parser": "load_airv2x_params",
+        "model": {
+            "core_method": "airv2x_where2comm",
+            "args": {
+                "ego_type": "vehicle",
+                "collaborators": ["vehicle", "rsu", "drone"],
+                "active_sensors": ["lidar"],
+                "max_cav": {"vehicle": 2, "rsu": 1, "drone": 1},
+                "proj_first": True,
+                "backbone_fix": False,
+                "vehicle": agent(lidar_range, [0.4, 0.4, 4.0]),
+                "rsu": agent([-6.4, -6.4, -30.0, 6.4, 6.4, 30.0], [0.4, 0.4, 60.0]),
+                "drone": agent(
+                    [-6.4, -6.4, -150.0, 6.4, 6.4, -6.0], [0.4, 0.4, 144.0]
+                ),
+                "modality_fusion": {
+                    "base_bev_backbone": {
+                        "layer_nums": [1, 1],
+                        "layer_strides": [2, 2],
+                        "num_filters": [64, 64],
+                        "upsample_strides": [1, 2],
+                        "num_upsample_filter": [32, 32],
+                    },
+                    "shrink_header": {
+                        "use": True,
+                        "input_dim": 64,
+                        "dim": [64],
+                        "kernal_size": [1],
+                        "stride": [1],
+                        "padding": [0],
+                    },
+                    "compression": 0,
+                },
+                "where2com_fusion": {
+                    "fully": False,
+                    "voxel_size": [0.4, 0.4, 4.0],
+                    "downsample_rate": 4,
+                    "in_channels": 64,
+                    "multi_scale": True,
+                    "layer_nums": [1, 1],
+                    "num_filters": [64, 64],
+                    "communication": {
+                        "round": 1,
+                        "threshold": 0.3,
+                        "gaussian_smooth": {"k_size": 5, "c_sigma": 1.0},
+                    },
+                },
+                "task": "det",
+                "outC": 64,
+                "anchor_number": 2,
+                "num_class": 7,
+                "obj_head": True,
+            },
+        },
+        "num_class": 7,
+        "task": "det",
+        "train_params": {
+            "batch_size": 1,
+            "epoches": 1,
+            "max_cav": {"vehicle": 2, "rsu": 1, "drone": 1},
+        },
+        "preprocess": {
+            "core_method": "SpVoxelPreprocessor",
+            "cav_lidar_range": lidar_range,
+            "args": {
+                "voxel_size": [0.4, 0.4, 4.0],
+                "max_points_per_voxel": 8,
+                "max_voxel_train": 512,
+                "max_voxel_test": 512,
+                "fast_pillars": False,  # classic path: capped like spconv
+            },
+            "max_points": 1024,
+        },
+        "postprocess": {
+            "anchor_args": {
+                "cav_lidar_range": lidar_range,
+                "l": 3.9,
+                "w": 1.6,
+                "h": 1.56,
+                "r": [0, 90],
+                "feature_stride": 4,
+                "num": 2,
+            },
+            "target_args": {
+                "pos_threshold": 0.6,
+                "neg_threshold": 0.45,
+                "score_threshold": 0.2,
+                "obj_threshold": 0.2,
+            },
+            "order": "hwl",
+            "max_num": 16,
+            "nms_thresh": 0.15,
+        },
+        "optimizer": {"core_method": "Adam", "lr": 1e-3, "args": {}},
+        "lr_scheduler": {"core_method": "multistep", "gamma": 0.1,
+                         "step_size": [10]},
+    }
+
+
+@pytest.fixture(scope="module")
+def w2c_setup():
+    """Reference torch model + flax twin with converted weights + one batch."""
+    # cv2-dependent debug write inside the reference forward (airv2x_where2com
+    # .py:137-139) targets ./debug — make sure the dir exists.
+    import os
+
+    os.makedirs("debug", exist_ok=True)
+
+    from opencood.models.airv2x_where2com import Airv2xWhere2com
+
+    from airv2x_tpu.models import build_model
+    from airv2x_tpu.ops.voxelize import pillarize
+
+    rng = np.random.default_rng(7)
+    hypes = _parity_hypes()
+    args = hypes["model"]["args"]
+
+    torch.manual_seed(11)
+    targs = dict(args)
+    targs["where2com_fusion"] = dict(args["where2com_fusion"])
+    ref = Airv2xWhere2com(targs).eval()
+    randomize_batchnorms(ref, rng)
+
+    # one sample, all four slots occupied: 2 veh + 1 rsu + 1 drone
+    n_pts = 600
+    lr = hypes["preprocess"]["cav_lidar_range"]
+    pts = np.zeros((4, n_pts, 4), np.float32)
+    for a in range(4):
+        pts[a, :, 0] = rng.uniform(lr[0], lr[3], n_pts)
+        pts[a, :, 1] = rng.uniform(lr[1], lr[4], n_pts)
+        pts[a, :, 2] = rng.uniform(-2.5, 0.5, n_pts)
+        pts[a, :, 3] = rng.uniform(0, 1, n_pts)
+    pts_mask = np.ones((4, n_pts), bool)
+
+    # shared voxelization (the model recomputes the identical thing inside)
+    vox = [
+        pillarize(
+            jnp.asarray(pts[a]),
+            jnp.asarray(pts_mask[a]),
+            lidar_range=jnp.asarray(lr, jnp.float32),
+            voxel_size=jnp.asarray([0.4, 0.4, 4.0], jnp.float32),
+            grid_size=(32, 32, 1),
+            max_pillars=512,
+            max_points_per_pillar=8,
+        )
+        for a in range(4)
+    ]
+
+    def type_dict(agent_ids):
+        vf, np_, co = [], [], []
+        for bi, a in enumerate(agent_ids):
+            m = np.asarray(vox[a].mask)
+            vf.append(np.asarray(vox[a].voxels)[m])
+            np_.append(np.asarray(vox[a].num_points)[m])
+            c = np.asarray(vox[a].coords)[m]
+            co.append(np.concatenate([np.full((len(c), 1), bi, c.dtype), c], 1))
+        return {
+            "batch_merged_lidar_features_torch": {
+                "voxel_features": torch.tensor(np.concatenate(vf)),
+                "voxel_num_points": torch.tensor(np.concatenate(np_)),
+                "voxel_coords": torch.tensor(np.concatenate(co)),
+            },
+            "batch_idxs": [0],
+            "record_len": torch.tensor([len(agent_ids)]),
+        }
+
+    data_dict = {
+        "vehicle": type_dict([0, 1]),
+        "rsu": type_dict([2]),
+        "drone": type_dict([3]),
+        "img_pairwise_t_matrix_collab": torch.eye(4).repeat(1, 4, 4, 1, 1),
+    }
+    with torch.no_grad():
+        out_ref = ref(data_dict)
+
+    model = build_model(hypes)
+    batch = {
+        "points": jnp.asarray(pts[None]),
+        "points_mask": jnp.asarray(pts_mask[None]),
+        "agent_mask": jnp.ones((1, 4), bool),
+        "pairwise_t": jnp.broadcast_to(jnp.eye(4), (1, 4, 4, 4)),
+        "prior_encoding": jnp.zeros((1, 4, 3)),
+    }
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "comm": jax.random.PRNGKey(1)},
+        batch,
+        train=False,
+    )
+    asg = tc.convert_state_dict(ref.state_dict(), variables, hypes)
+    return ref, model, asg, batch, out_ref
+
+
+def test_where2comm_convert_complete(w2c_setup):
+    """Every flax leaf assigned; every torch tensor consumed or explained."""
+    from flax.traverse_util import flatten_dict
+
+    ref, model, asg, batch, out_ref = w2c_setup
+    assert not asg.skipped, asg.skipped
+    n_leaves = sum(len(flatten_dict(asg.variables[c])) for c in asg.variables)
+    assert len(asg.assigned) == n_leaves, (
+        f"assigned {len(asg.assigned)} of {n_leaves} flax leaves"
+    )
+    # every torch tensor was consumed (fusion-net frozen constants included)
+    assert asg.torch_leftovers == [], asg.torch_leftovers
+
+
+def test_where2comm_e2e_parity(w2c_setup):
+    ref, model, asg, batch, out_ref = w2c_setup
+    out = model.apply(asg.variables, batch, train=False)
+    assert_close(
+        nchw(out["psm"]), out_ref["psm"].numpy(), atol=1e-3, rtol=1e-3,
+        what="e2e psm",
+    )
+    assert_close(
+        nchw(out["rm"]), out_ref["rm"].numpy(), atol=1e-3, rtol=1e-3,
+        what="e2e rm",
+    )
+    assert_close(
+        nchw(out["obj"]), out_ref["obj"].numpy(), atol=1e-3, rtol=1e-3,
+        what="e2e obj",
+    )
+    assert abs(float(out["comm_rate"]) - float(out_ref["com"])) < 1e-5
+
+
+def test_convert_checkpoint_cli(w2c_setup, tmp_path, monkeypatch):
+    """Full round trip through the CLI: .pth -> run dir -> orbax restore ->
+    identical outputs."""
+    ref, model, asg, batch, out_ref = w2c_setup
+
+    from airv2x_tpu.config import save_yaml
+    from airv2x_tpu.parallel.train import create_train_state, make_optimizer
+    from airv2x_tpu.tools import convert_checkpoint
+    from airv2x_tpu.utils.checkpoint import load_checkpoint
+
+    ckpt = tmp_path / "net_epoch50.pth"
+    torch.save({"model_state_dict": ref.state_dict()}, ckpt)
+    cfg = tmp_path / "config.yaml"
+    save_yaml(_parity_hypes(), str(cfg))
+    out_dir = tmp_path / "converted"
+
+    monkeypatch.setattr(
+        sys, "argv",
+        ["convert_checkpoint", "--checkpoint", str(ckpt), "--hypes_yaml",
+         str(cfg), "--output", str(out_dir)],
+    )
+    convert_checkpoint.main()
+
+    tx, _ = make_optimizer(_parity_hypes())
+    variables = {"params": asg.variables["params"],
+                 "batch_stats": asg.variables["batch_stats"]}
+    template = create_train_state(model, jax.tree.map(np.zeros_like, variables),
+                                  tx)
+    state = load_checkpoint(str(out_dir), 1, jax.device_get(template))
+    out = model.apply(
+        {"params": state.params, "batch_stats": state.batch_stats},
+        batch, train=False,
+    )
+    assert_close(
+        nchw(out["psm"]), out_ref["psm"].numpy(), atol=1e-3, rtol=1e-3,
+        what="cli psm",
+    )
