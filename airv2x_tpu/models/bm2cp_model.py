@@ -120,15 +120,28 @@ class Airv2xBM2CP(PostBackboneFusionModel):
         if tm.shape[-2:] != grouped.shape[2:4]:
             tm = jax.image.resize(tm, tm.shape[:2] + grouped.shape[2:4],
                                   "nearest")
-        psm_single = self.heads(grouped.reshape((b * l,) + grouped.shape[2:]))[
-            "psm"
-        ].reshape((b, l) + grouped.shape[2:4] + (-1,))
+        flat_g = grouped.reshape((b * l,) + grouped.shape[2:])
+        if self.task == "det":
+            conf = self.heads(flat_g)["psm"]
+        else:
+            # seg: cropped seg features as the confidence proxy, like the
+            # reference's ori_x path (airv2x_bm2cp.py seg branch)
+            _, conf = self.seg_head(flat_g, return_features=True)
+        psm_single = conf.reshape((b, l) + conf.shape[1:3] + (-1,))
         comm_mask, rate = self.communication(
-            psm_single, batch["agent_mask"], train=train, thres_map=tm
+            psm_single, batch["agent_mask"], train=train,
+            thres_map=tm if tm.shape[-2:] == psm_single.shape[2:4] else None,
         )
+        if comm_mask.shape[-2:] != grouped.shape[2:4]:
+            comm_mask = jax.image.resize(
+                comm_mask, comm_mask.shape[:2] + grouped.shape[2:4], "bilinear"
+            )
         gated = grouped * comm_mask[..., None]
         fused = ego_agent_attention(gated, batch["agent_mask"])
 
-        out = dict(self.heads(fused))
+        if self.task == "det":
+            out = dict(self.heads(fused))
+        else:
+            out = dict(self.seg_head(fused))
         out["comm_rate"] = rate
         return out

@@ -40,8 +40,10 @@ class PointPillarBase(nn.Module):
 
     def setup(self):
         args = self.args
+        from collections.abc import Mapping
+
         max_cav = args.get("max_cav", 5)
-        if isinstance(max_cav, dict):
+        if isinstance(max_cav, Mapping):  # flax wraps dict attrs in FrozenDict
             max_cav = sum(max_cav.values())
         self.layout = SlotLayout(counts=(int(max_cav), 0, 0))
         pre = args["preprocess"]
@@ -91,6 +93,7 @@ class PointPillarBase(nn.Module):
                 dims=shrink["dim"],
                 kernels=shrink["kernal_size"],
                 strides=shrink["stride"],
+                paddings=shrink.get("padding"),
                 dtype=self.dtype,
             )
         self.compression = int(args.get("compression", 0)) > 0
@@ -98,12 +101,23 @@ class PointPillarBase(nn.Module):
             self.compressor = NaiveCompressor(
                 256, args["compression"], dtype=self.dtype
             )
+        # binary family by default (OPV2V); ``num_class > 1`` switches to
+        # the AirV2X multiclass head layout (A*C psm + objectness)
+        self.num_class = int(args.get("num_class", 1))
         self.cls_head = nn.Conv(
-            args["anchor_number"], (1, 1), dtype=self.dtype, name="cls_head"
+            args["anchor_number"] * self.num_class,
+            (1, 1),
+            dtype=self.dtype,
+            name="cls_head",
         )
         self.reg_head = nn.Conv(
             7 * args["anchor_number"], (1, 1), dtype=self.dtype, name="reg_head"
         )
+        self.obj_flag = self.num_class > 1 and bool(args.get("obj_head", True))
+        if self.obj_flag:
+            self.obj_head = nn.Conv(
+                args["anchor_number"], (1, 1), dtype=self.dtype, name="obj_head"
+            )
         self.setup_fusion()
 
     def setup_fusion(self):
@@ -158,11 +172,14 @@ class PointPillarBase(nn.Module):
             feats = self.compressor(feats, train)
         grouped = feats.reshape((b, l) + feats.shape[1:])
         fused, rate = self.fuse(grouped, batch, train)
-        return {
+        out = {
             "psm": self.cls_head(fused),
             "rm": self.reg_head(fused),
             "comm_rate": rate,
         }
+        if self.obj_flag:
+            out["obj"] = self.obj_head(fused)
+        return out
 
 
 @register_model("point_pillar")
