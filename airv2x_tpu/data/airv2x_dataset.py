@@ -132,6 +132,7 @@ class AirV2XDataset:
         margs = hypes["model"]["args"]
         self.cam_confs = {}
         self.cam_depth = {}
+        self.cam_grid = {}
         for tname in AGENT_TYPES:
             tcfg = margs.get(tname)
             if isinstance(tcfg, dict) and "cam" in tcfg.get("modalities", []):
@@ -140,6 +141,28 @@ class AirV2XDataset:
                 self.cam_depth[tname] = bool(
                     cam.get("use_depth_gt") or cam.get("depth_supervision")
                 )
+                if "grid_conf" in cam:
+                    self.cam_grid[tname] = cam["grid_conf"]
+        # BM2CP sample assembly: per-camera lidar-projected depth maps
+        # (reference intermediate_fusion_dataset_bm2cp.py)
+        fusion_core = str(hypes.get("fusion", {}).get("core_method", ""))
+        self.bm2cp = "bm2cp" in (
+            fusion_core + hypes["model"]["core_method"]
+        ).lower()
+        # K-frame temporal samples for SCOPE / How2comm
+        # (intermediate_fusion_dataset_multi_frame_how2comm.py:28,93-104):
+        # explicit fusion.args.num_sweep_frames, else the model's
+        # temporal_fusion.frames, else single-frame
+        core = hypes["model"]["core_method"].lower()
+        self.frames = int(
+            hypes.get("fusion", {}).get("args", {}).get("num_sweep_frames", 0)
+            or (
+                margs.get("temporal_fusion", {}).get("frames", 0)
+                if any(k in core for k in ("scope", "how2comm"))
+                else 0
+            )
+            or 1
+        )
         # seg task: ego's 7-dynamic + 3-static label maps
         # (basedataset.py:279-301,885-936)
         self.load_seg = (
@@ -214,9 +237,8 @@ class AirV2XDataset:
 
     def __getitem__(self, idx: int, epoch: int = 0):
         spath, stamps, t = self.samples[idx]
-        agents, objects = self._agents_at(spath, stamps[t])
         rng = np.random.default_rng((self.seed, epoch, idx))
-
+        agents, _ = self._agents_at(spath, stamps[t])
         vehicles = [k for k, a in agents.items() if a["type"] == "vehicle"]
         if not vehicles:
             raise ValueError(f"no vehicle agent in {spath}/{stamps[t]}")
@@ -224,6 +246,43 @@ class AirV2XDataset:
             int(rng.choice(vehicles)) if self.train and len(vehicles) > 1
             else vehicles[0]
         )
+
+        if self.frames <= 1:
+            batch, gt, _ = self._assemble(spath, stamps, t, ego_id, rng)
+            return batch, gt
+
+        # K-frame temporal sample (oldest -> current), same ego across
+        # frames; frame k's points stay in k's ego frame and ``history_t``
+        # carries the k->current ego transform
+        # (intermediate_fusion_dataset_multi_frame_how2comm.py:28,93-104)
+        ts = [max(t - k, 0) for k in range(self.frames - 1, -1, -1)]
+        frames, poses = [], []
+        gt = None
+        for k in ts:
+            b, g, pose = self._assemble(spath, stamps, k, ego_id, rng)
+            frames.append(b)
+            poses.append(pose)
+            gt = g  # labels come from the current (last) frame
+        cur_pose = poses[-1]
+        batch = {
+            key: np.stack([f[key] for f in frames])
+            for key in ("points", "points_mask", "agent_mask")
+        }
+        for key in ("pairwise_t", "pairwise_t_full", "prior_encoding"):
+            batch[key] = frames[-1][key]
+        for key, v in frames[-1].items():
+            if key.startswith("cam_") or key.endswith("_seg_label"):
+                batch[key] = v
+        batch["history_t"] = np.stack(
+            [tf.pose_a_to_b(p, cur_pose).astype(np.float32) for p in poses]
+        )
+        return batch, gt
+
+    def _assemble(self, spath, stamps, t, ego_id, rng):
+        agents, objects = self._agents_at(spath, stamps[t])
+        if ego_id not in agents:  # ego absent in a historical frame
+            vehicles = [k for k, a in agents.items() if a["type"] == "vehicle"]
+            ego_id = vehicles[0]
         ego = agents[ego_id]
         ego_pose = self._lidar_world_pose(ego["meta"])
 
@@ -283,6 +342,20 @@ class AirV2XDataset:
                 if aid == ego_id:
                     ego_dir = a["path"]
 
+                cnt = 0
+                if a["lidar"] is not None:
+                    # one native pass: parse + ego mask + project + range crop
+                    cnt = load_pcd_into(
+                        a["lidar"],
+                        points[slot],
+                        transform=t_cav_ego.astype(np.float32)
+                        if self.proj_first
+                        else None,
+                        lidar_range=np.asarray(self.lidar_range, np.float32),
+                        ego_mask=2.0,
+                    )
+                    points_mask[slot, :cnt] = True
+
                 if tname in self.cam_confs:
                     from airv2x_tpu.data.camera import load_agent_cam_inputs
 
@@ -296,21 +369,29 @@ class AirV2XDataset:
                         with_depth=self.cam_depth[tname],
                     )
                     if cam is not None:
-                        cam_slots[tname][slot] = cam
+                        # BM2CP variant: lidar-depth-to-image projection
+                        # (intermediate_fusion_dataset_bm2cp.py:661-679);
+                        # drones have no lidar -> all-(-1) maps, exactly the
+                        # reference's "predicted depth fills non-covered"
+                        if self.bm2cp and tname in self.cam_grid:
+                            from airv2x_tpu.data.camera import (
+                                load_agent_depth_maps,
+                            )
 
-                if a["lidar"] is None:
-                    continue
-                # one native pass: parse + ego mask + project + range crop
-                cnt = load_pcd_into(
-                    a["lidar"],
-                    points[slot],
-                    transform=t_cav_ego.astype(np.float32)
-                    if self.proj_first
-                    else None,
-                    lidar_range=np.asarray(self.lidar_range, np.float32),
-                    ego_mask=2.0,
-                )
-                points_mask[slot, :cnt] = True
+                            dm = load_agent_depth_maps(
+                                a["path"],
+                                a["meta"],
+                                tname,
+                                points[slot, :cnt, :3] if cnt else
+                                np.zeros((0, 3), np.float32),
+                                self.cam_grid[tname],
+                                tuple(self.cam_confs[tname]["final_dim"]),
+                                cav_to_points=t_cav_ego
+                                if self.proj_first else None,
+                            )
+                            if dm is not None:
+                                cam["depth_maps"] = dm
+                        cam_slots[tname][slot] = cam
 
         if self.proj_first:
             pairwise_batch = np.tile(np.eye(4, dtype=np.float32), (L, 1, 1))
@@ -361,6 +442,8 @@ class AirV2XDataset:
                 # keep post_rots/intrinsics invertible in empty slots
                 if key in ("post_rots", "intrinsics", "rots"):
                     full[...] = np.eye(3, dtype=arr.dtype)
+                elif key == "depth_maps":
+                    full[...] = -1.0  # -1 = no lidar return, NOT level 0
                 for slot, cam in slots_data.items():
                     full[slot] = cam[key]
                 stacked[key] = full
@@ -376,4 +459,4 @@ class AirV2XDataset:
                 batch["static_seg_label"] = sta.astype(np.int32)
 
         gt = {"boxes": boxes, "mask": mask, "classes": classes}
-        return batch, gt
+        return batch, gt, ego_pose

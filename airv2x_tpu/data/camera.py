@@ -247,6 +247,124 @@ def load_agent_cam_inputs(
     }
 
 
+def depth_discretization_np(d_min, d_max, num_bins, mode) -> np.ndarray:
+    """camera_utils.depth_discretization (:301-313), numpy host twin."""
+    if mode == "UD":
+        return np.linspace(d_min, d_max, num_bins, dtype=np.float64)
+    # LID: linearly-increasing bin widths
+    idx = np.arange(num_bins, dtype=np.float64)
+    delta = 2 * (d_max - d_min) / (num_bins * (1 + num_bins))
+    return d_min + delta * idx * (idx + 1) / 2
+
+
+def project_lidar_depth_map(
+    lidar_xyz: np.ndarray,
+    intrinsic: np.ndarray,
+    extrinsic_ue4: np.ndarray,
+    img_hw: tuple,
+    depth_discre: np.ndarray,
+    final_hw: tuple,
+) -> np.ndarray:
+    """Lidar cloud -> per-pixel min depth-*level* map for one camera.
+
+    Vectorized twin of the BM2CP dataset's generate_depth_map +
+    airv2x_utils.project_lidar_to_cam_single
+    (intermediate_fusion_dataset_bm2cp.py:1052-1130, airv2x_utils.py:317-369):
+    transform lidar points into the camera (UE4 extrinsic inverse), swap to
+    the OpenCV axes ([y, -z, x]), pin-hole project, round-half-up to pixels,
+    keep the minimum discretized depth level per pixel, min-pool down to
+    ``final_hw``. Empty pixels are -1.
+    """
+    imgH, imgW = img_hw
+    fH, fW = final_hw
+    dm_full = np.full((imgH, imgW), np.inf, np.float32)
+
+    if lidar_xyz.shape[0]:
+        # the metadata "extrinsic" IS the lidar->camera(ue4) matrix — the
+        # reference's ue4_to_lss inverts it to get cam->lidar
+        # (camera_utils.py:553-568)
+        lidar2cam = np.asarray(extrinsic_ue4, np.float64)
+        pts = lidar_xyz[:, :3].astype(np.float64) @ lidar2cam[:3, :3].T
+        pts = pts + lidar2cam[:3, 3]
+        # UE4 -> OpenCV camera axes (airv2x_utils.py:350)
+        cam_pts = np.stack([pts[:, 1], -pts[:, 2], pts[:, 0]], axis=1)
+        depth = cam_pts[:, 2]
+        uvw = cam_pts @ np.asarray(intrinsic, np.float64).T
+        with np.errstate(divide="ignore", invalid="ignore"):
+            uv = uvw[:, :2] / depth[:, None]
+        # round half up (bm2cp :1072-1074), then (u, v) -> (row, col)
+        uv_int = np.floor(uv + 0.5).astype(np.int64)
+        col, row = uv_int[:, 0], uv_int[:, 1]
+        valid = (
+            (depth >= depth_discre[0])
+            & (row >= 0) & (row < imgH)
+            & (col >= 0) & (col < imgW)
+        )
+        lvl = np.searchsorted(depth_discre, depth[valid], side="left")
+        lvl = np.maximum(lvl, 1) - 1
+        np.minimum.at(dm_full, (row[valid], col[valid]), lvl.astype(np.float32))
+
+    # min-pool to the network input resolution (bm2cp :1100-1114)
+    sh, sw = imgH // fH, imgW // fW
+    if sh >= 1 and sw >= 1 and imgH % fH == 0 and imgW % fW == 0:
+        dm = dm_full.reshape(fH, sh, fW, sw).min(axis=(1, 3))
+    else:  # non-integer scale: nearest sample
+        ys = np.clip((np.arange(fH) * imgH / fH).astype(int), 0, imgH - 1)
+        xs = np.clip((np.arange(fW) * imgW / fW).astype(int), 0, imgW - 1)
+        dm = dm_full[np.ix_(ys, xs)]
+    dm[~np.isfinite(dm)] = -1.0
+    return dm.astype(np.float32)
+
+
+def load_agent_depth_maps(
+    agent_dir: str,
+    meta: dict,
+    agent_type: str,
+    lidar_xyz: np.ndarray,
+    grid_conf: dict,
+    final_hw: tuple,
+    cav_to_points: np.ndarray | None = None,
+) -> np.ndarray | None:
+    """Project one agent's lidar into each of its cameras (BM2CP sample
+    assembly, intermediate_fusion_dataset_bm2cp.py:661-679).
+
+    ``lidar_xyz`` may be in a different frame than the agent (proj_first puts
+    it in the ego frame); pass ``cav_to_points`` = the cav->points-frame
+    transform so the camera extrinsics follow. Returns (Ncam, fH, fW)
+    min-depth-level maps (-1 = no lidar return) or None without cameras.
+    """
+    from PIL import Image
+
+    dd = depth_discretization_np(*grid_conf["ddiscr"], grid_conf["mode"])
+    maps = []
+    for key in CAM_KEYS[agent_type]:
+        cam_path = os.path.join(agent_dir, key + ".png")
+        if not os.path.isfile(cam_path):
+            continue
+        with Image.open(cam_path) as im:
+            img_w, img_h = im.size
+        extr = np.asarray(meta[key]["extrinsic"], np.float64).reshape(4, 4)
+        if cav_to_points is not None:
+            # points live in frame P = cav_to_points @ cav, so
+            # lidar(P)->cam = (lidar(cav)->cam) @ inv(cav->P)
+            extr = extr @ np.linalg.inv(
+                np.asarray(cav_to_points, np.float64)
+            )
+        maps.append(
+            project_lidar_depth_map(
+                lidar_xyz,
+                np.asarray(meta[key]["intrinsic"], np.float64).reshape(3, 3),
+                extr,
+                (img_h, img_w),
+                dd,
+                final_hw,
+            )
+        )
+    if not maps:
+        return None
+    return np.stack(maps)
+
+
 def _binary_label_map(agent_dir: str, filenames) -> np.ndarray | None:
     """Stack threshold(>10) masks into a class-id map, last layer wins;
     transpose + column flip per basedataset._wrap_segmentation_map."""
