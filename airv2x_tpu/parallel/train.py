@@ -118,9 +118,13 @@ def make_train_step(
     tx,
     mesh=None,
     donate: bool = True,
+    compiler_options: dict | None = None,
 ):
     """Build the jitted train step. With a mesh, state is replicated and the
-    batch is expected sharded along 'data'; XLA inserts the gradient psum."""
+    batch is expected sharded along 'data'; XLA inserts the gradient psum.
+
+    ``compiler_options`` carries per-config XLA workarounds
+    (utils.compile_opts.model_compiler_options)."""
 
     def step_fn(state: TrainState, batch, rng):
         rng = jax.random.fold_in(rng, state.step)
@@ -156,10 +160,14 @@ def make_train_step(
     # jit propagates shardings from the operands: state replicated, batch
     # sharded along 'data' (see parallel.mesh.shard_batch). The gradient
     # reduction across data shards compiles to an ICI psum.
-    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+    return jax.jit(
+        step_fn,
+        donate_argnums=(0,) if donate else (),
+        compiler_options=compiler_options,
+    )
 
 
-def make_eval_step(model, loss_fn):
+def make_eval_step(model, loss_fn, compiler_options: dict | None = None):
     def eval_fn(state: TrainState, batch):
         out = model.apply(
             {"params": state.params, "batch_stats": state.batch_stats},
@@ -169,4 +177,4 @@ def make_eval_step(model, loss_fn):
         total, parts = loss_fn(out, batch["labels"])
         return out, total, parts
 
-    return jax.jit(eval_fn)
+    return jax.jit(eval_fn, compiler_options=compiler_options)

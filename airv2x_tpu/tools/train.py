@@ -251,8 +251,13 @@ def main():
 
     with mesh:
         state = jax.device_put(state, replicated(mesh))
-        train_step = make_train_step(model, loss_fn, tx, mesh=mesh)
-        eval_step = make_eval_step(model, loss_fn)
+        from airv2x_tpu.utils.compile_opts import model_compiler_options
+
+        copts = model_compiler_options(hypes)
+        train_step = make_train_step(
+            model, loss_fn, tx, mesh=mesh, compiler_options=copts
+        )
+        eval_step = make_eval_step(model, loss_fn, compiler_options=copts)
         rng = jax.random.PRNGKey(opt.seed)
 
         for epoch in range(start_epoch, epochs):
