@@ -1,0 +1,182 @@
+"""Import shims so the actual reference code runs in this image.
+
+The reference package imports several libraries this image lacks
+(efficientnet_pytorch, torchvision, shapely, pyquaternion, spconv, pypcd,
+open3d, icecream) at module import time. Most are stubbed with permissive
+dummies (any code path that actually touched one would fail loudly).
+
+Two dependencies get REAL minimal backends so the reference's geometry code
+paths execute for golden-output testing:
+
+  * ``shapely.geometry.Polygon`` -> a convex-polygon class with exact
+    Sutherland-Hodgman intersection and shoelace area (rotated detection
+    boxes are convex quads, so this is exact for every reference use:
+    ``p.area``, ``p.intersection(q).area``, ``p.union(q).area``);
+  * ``opencood.utils.box_overlaps.bbox_overlaps`` -> a vectorized numpy
+    twin of the Cython kernel (+1 pixel convention preserved) so the
+    reference's anchor label assignment runs without a Cython build.
+"""
+
+from __future__ import annotations
+
+import sys
+import types
+
+import numpy as np
+
+
+class _AnyStub:
+    def __init__(self, *a, **k):
+        pass
+
+    def __call__(self, *a, **k):
+        return a[0] if a else None
+
+
+def _stub_module(name, **attrs):
+    m = types.ModuleType(name)
+    for k, v in attrs.items():
+        setattr(m, k, v)
+
+    def _ga(n):
+        if n.startswith("__"):
+            raise AttributeError(n)
+        return type(n, (_AnyStub,), {})
+
+    m.__getattr__ = _ga
+    sys.modules.setdefault(name, m)
+    return sys.modules[name]
+
+
+# ---------------------------------------------------------------- shapely
+
+
+def _shoelace(pts: np.ndarray) -> float:
+    x, y = pts[:, 0], pts[:, 1]
+    return 0.5 * abs(
+        float(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
+    )
+
+
+def _clip_convex(subject: np.ndarray, clip: np.ndarray) -> np.ndarray:
+    """Sutherland-Hodgman: clip convex ``subject`` by convex ``clip``.
+
+    ``clip`` must be counter-clockwise; callers normalize orientation.
+    """
+    out = list(subject)
+    n = len(clip)
+    for i in range(n):
+        a, b = clip[i], clip[(i + 1) % n]
+        edge = (b[0] - a[0], b[1] - a[1])
+        inp, out = out, []
+        if not inp:
+            break
+
+        def inside(p):
+            return (
+                edge[0] * (p[1] - a[1]) - edge[1] * (p[0] - a[0])
+            ) >= -1e-12
+
+        s = inp[-1]
+        for e in inp:
+            if inside(e):
+                if not inside(s):
+                    out.append(_intersect(s, e, a, b))
+                out.append(e)
+            elif inside(s):
+                out.append(_intersect(s, e, a, b))
+            s = e
+    return np.asarray(out, np.float64).reshape(-1, 2)
+
+
+def _intersect(p1, p2, a, b):
+    d1 = (p2[0] - p1[0], p2[1] - p1[1])
+    d2 = (b[0] - a[0], b[1] - a[1])
+    denom = d1[0] * d2[1] - d1[1] * d2[0]
+    if abs(denom) < 1e-15:
+        return p2
+    t = ((a[0] - p1[0]) * d2[1] - (a[1] - p1[1]) * d2[0]) / denom
+    return (p1[0] + t * d1[0], p1[1] + t * d1[1])
+
+
+def _ccw(pts: np.ndarray) -> np.ndarray:
+    x, y = pts[:, 0], pts[:, 1]
+    signed = 0.5 * (np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
+    return pts if signed >= 0 else pts[::-1]
+
+
+class _Area:
+    def __init__(self, area: float):
+        self.area = area
+
+
+class RealPolygon:
+    """Convex polygon with exact area/intersection/union (shapely twin for
+    the reference's rotated-box usage)."""
+
+    def __init__(self, pts):
+        self._pts = _ccw(np.asarray(list(pts), np.float64).reshape(-1, 2))
+
+    @property
+    def area(self) -> float:
+        return _shoelace(self._pts)
+
+    def intersection(self, other: "RealPolygon") -> _Area:
+        inter = _clip_convex(self._pts, other._pts)
+        return _Area(_shoelace(inter) if len(inter) >= 3 else 0.0)
+
+    def union(self, other: "RealPolygon") -> _Area:
+        return _Area(self.area + other.area - self.intersection(other).area)
+
+    def buffer(self, *a, **k):
+        return self
+
+
+def bbox_overlaps_np(boxes: np.ndarray, query_boxes: np.ndarray) -> np.ndarray:
+    """Vectorized numpy twin of utils/box_overlaps.pyx:bbox_overlaps
+    (Fast-RCNN aligned IoU with the +1 pixel convention)."""
+    boxes = np.asarray(boxes, np.float64)
+    query = np.asarray(query_boxes, np.float64)
+    area_q = (query[:, 2] - query[:, 0] + 1) * (query[:, 3] - query[:, 1] + 1)
+    area_b = (boxes[:, 2] - boxes[:, 0] + 1) * (boxes[:, 3] - boxes[:, 1] + 1)
+    iw = (
+        np.minimum(boxes[:, None, 2], query[None, :, 2])
+        - np.maximum(boxes[:, None, 0], query[None, :, 0])
+        + 1
+    )
+    ih = (
+        np.minimum(boxes[:, None, 3], query[None, :, 3])
+        - np.maximum(boxes[:, None, 1], query[None, :, 1])
+        + 1
+    )
+    inter = np.clip(iw, 0, None) * np.clip(ih, 0, None)
+    inter = np.where((iw > 0) & (ih > 0), inter, 0.0)
+    return inter / (area_b[:, None] + area_q[None, :] - inter)
+
+
+def install_reference_stubs():
+    """Make ``import opencood.*`` work; idempotent."""
+    if "/root/reference" not in sys.path:
+        sys.path.insert(0, "/root/reference")
+
+    for n in (
+        "efficientnet_pytorch", "pyquaternion", "pypcd", "open3d",
+        "spconv", "spconv.pytorch", "spconv.utils", "cumm", "cumm.tensorview",
+    ):
+        _stub_module(n)
+    _stub_module("icecream", ic=lambda *a, **k: (a[0] if a else None))
+    tv = _stub_module("torchvision")
+    tvm = _stub_module("torchvision.models")
+    tvr = _stub_module("torchvision.models.resnet")
+    tvt = _stub_module("torchvision.transforms")
+    tv.models, tv.transforms, tvm.resnet = tvm, tvt, tvr
+
+    sh = _stub_module("shapely")
+    shg = _stub_module("shapely.geometry")
+    shg.Polygon = RealPolygon
+    sh.geometry = shg
+
+    # real numpy backend for the Cython kernel the reference builds natively
+    bo = types.ModuleType("opencood.utils.box_overlaps")
+    bo.bbox_overlaps = bbox_overlaps_np
+    sys.modules.setdefault("opencood.utils.box_overlaps", bo)

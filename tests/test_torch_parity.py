@@ -12,57 +12,14 @@ downsample_conv, naive_compress}.py, models/where2comm_modules/where2comm_fuse.p
 models/airv2x_where2com.py.
 """
 
-import sys
-import types
-
 import numpy as np
 import pytest
 
 torch = pytest.importorskip("torch")
-sys.path.insert(0, "/root/reference")
 
+from tests.reference_stubs import install_reference_stubs  # noqa: E402
 
-# The reference package imports several libraries this image lacks
-# (efficientnet_pytorch, torchvision, shapely, pyquaternion, spconv, ...)
-# on module import, even though the lidar-only modules under test never use
-# them. Stub the missing ones with permissive dummies so the reference code
-# imports; anything that actually touched a stub would fail loudly.
-class _AnyStub:
-    def __init__(self, *a, **k):
-        pass
-
-    def __call__(self, *a, **k):
-        return a[0] if a else None
-
-
-def _stub_module(name, **attrs):
-    m = types.ModuleType(name)
-    for k, v in attrs.items():
-        setattr(m, k, v)
-
-    def _ga(n):
-        if n.startswith("__"):
-            raise AttributeError(n)
-        return type(n, (_AnyStub,), {})
-
-    m.__getattr__ = _ga
-    sys.modules.setdefault(name, m)
-    return sys.modules[name]
-
-
-for _n in (
-    "efficientnet_pytorch", "pyquaternion", "pypcd", "open3d",
-    "spconv", "spconv.pytorch", "spconv.utils", "cumm", "cumm.tensorview",
-):
-    _stub_module(_n)
-_stub_module("icecream", ic=lambda *a, **k: (a[0] if a else None))
-_tv = _stub_module("torchvision")
-_tvm = _stub_module("torchvision.models")
-_tvr = _stub_module("torchvision.models.resnet")
-_tvt = _stub_module("torchvision.transforms")
-_tv.models, _tv.transforms, _tvm.resnet = _tvm, _tvt, _tvr
-_sh = _stub_module("shapely")
-_sh.geometry = _stub_module("shapely.geometry")
+install_reference_stubs()
 
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
