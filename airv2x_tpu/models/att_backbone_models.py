@@ -35,6 +35,20 @@ class PointPillarAttResNet(PointPillarBase):
             DeconvBNReLU(f, s, dtype=self.dtype)
             for f, s in zip(bb["num_upsample_filter"], bb["upsample_strides"])
         ]
+        # att_bev_backbone.py:13-17,51-76: ``compression: N`` inserts an
+        # AutoEncoder bottleneck after stage idx while N - idx > 0
+        compress_layer = int(bb.get("compression", 0))
+        if compress_layer > 0:
+            from airv2x_tpu.models.alignnet import AutoEncoder
+
+            self.att_compressors = [
+                AutoEncoder(f, compress_layer - i, dtype=self.dtype)
+                if compress_layer - i > 0
+                else None
+                for i, f in enumerate(bb["num_filters"])
+            ]
+        else:
+            self.att_compressors = [None] * len(bb["num_filters"])
 
     def __call__(self, batch, train: bool = False):
         x = self.encode(batch, train)  # (B, L, ny, nx, C)
@@ -42,8 +56,12 @@ class PointPillarAttResNet(PointPillarBase):
         am = batch["agent_mask"]
         cur = x.reshape((b * l,) + x.shape[2:])
         ups = []
-        for stage, deblock in zip(self.att_stages, self.att_deblocks):
+        for stage, deblock, compressor in zip(
+            self.att_stages, self.att_deblocks, self.att_compressors
+        ):
             cur = stage(cur, train)
+            if compressor is not None:
+                cur = compressor(cur, train)
             grouped = cur.reshape((b, l) + cur.shape[1:])
             fused = ego_agent_attention(grouped, am)  # (B, H, W, C)
             ups.append(deblock(fused, train))

@@ -54,6 +54,14 @@ class Airv2xHEAL(nn.Module):
             inplanes=bb["num_filters"][-1],
             dtype=self.dtype,
         )
+        # upstream airv2x_heal.py imports AlignNet but never wires it; we
+        # expose it config-gated for hetero-feature alignment experiments
+        if "alignnet" in args:
+            from airv2x_tpu.models.alignnet import AlignNet
+
+            self.alignnet = AlignNet(cfg=dict(args["alignnet"]), dtype=self.dtype)
+        else:
+            self.alignnet = None
         shrink = mod.get("shrink_header", {})
         self.shrink_flag = bool(shrink.get("use"))
         if self.shrink_flag:
@@ -91,6 +99,8 @@ class Airv2xHEAL(nn.Module):
         flat = x.reshape((b * l,) + x.shape[2:])
 
         feats, _ = self.backbone(flat, train)  # single-stage 64ch stride 2
+        if self.alignnet is not None:
+            feats = self.alignnet(feats, train)
         grouped = feats.reshape((b, l) + feats.shape[1:])
 
         pre = self.args["preprocess"]

@@ -49,6 +49,14 @@ class _TemporalBase(PointPillarBase):
             self.temporal_net = TemporalLSTMFusion(channels=ch, dtype=self.dtype)
         self._tcfg = tcfg
         self._tmethod = method
+        # point_pillar_how2comm.py:205-207 / point_pillar_scope.py:184-186:
+        # optional deformable refinement of the per-frame 2d features
+        if "dcn" in self.args:
+            from airv2x_tpu.models.alignnet import DCNNet
+
+            self.dcn_net = DCNNet(cfg=dict(self.args["dcn"]), dtype=self.dtype)
+        else:
+            self.dcn_net = None
 
     def __call__(self, batch, train: bool = False):
         pts = batch["points"]  # (B, T, L, N, 4)
@@ -65,6 +73,8 @@ class _TemporalBase(PointPillarBase):
             feats, _ = self.backbone(flat, train)
             if self.shrink_flag:
                 feats = self.shrink_conv(feats, train)
+            if self.dcn_net is not None:
+                feats = self.dcn_net(feats, train)
             return feats.reshape((b, l) + feats.shape[1:])
 
         frames = [frame(i) for i in range(t)]  # static unroll (small T)

@@ -25,6 +25,12 @@ def parse_args():
     p.add_argument("--epoch", type=int, default=0)
     p.add_argument("--num_scenes", type=int, default=16, help="synthetic fallback")
     p.add_argument("--save_vis", action="store_true")
+    p.add_argument(
+        "--track",
+        action="store_true",
+        help="associate detections across frames (Hungarian tracker), "
+        "writing per-frame track ids to tracks.txt",
+    )
     p.add_argument("--vis_3d", action="store_true",
                    help="also render a perspective 3D view per frame")
     p.add_argument("--seed", type=int, default=123)
@@ -124,6 +130,35 @@ def main():
     if opt.save_vis:
         os.makedirs(vis_dir, exist_ok=True)
 
+    # --track: per-scenario Hungarian trackers (models/tracking.Tracker).
+    # The reference TrackingHead's roi-pooling placeholder pools the whole
+    # BEV map, making every detection's appearance embedding identical
+    # within a frame — useless for association — so the tool tracks on
+    # normalized box geometry instead (position/size/heading), which the
+    # same Tracker consumes unchanged.
+    trackers: dict = {}
+    track_lines: list = []
+
+    def geometry_embedding(boxes):
+        import numpy as _np
+
+        lr_span = max(lidar_range[3] - lidar_range[0], 1.0)
+        emb = _np.stack(
+            [
+                boxes[:, 0] / lr_span,
+                boxes[:, 1] / lr_span,
+                boxes[:, 2] / 10.0,
+                boxes[:, 3] / 4.0,
+                boxes[:, 4] / 4.0,
+                boxes[:, 5] / 8.0,
+                _np.cos(boxes[:, 6]),
+                _np.sin(boxes[:, 6]),
+            ],
+            axis=1,
+        )
+        n = _np.linalg.norm(emb, axis=1, keepdims=True)
+        return emb / _np.maximum(n, 1e-9)
+
     for i, (scen, scene, gt) in enumerate(sample_iter()):
         batch = jax.tree.map(lambda x: jnp.asarray(x)[None], scene)
         det, rate = infer(state.params, state.batch_stats, batch)
@@ -139,6 +174,20 @@ def main():
         )
         for t in (0.3, 0.5, 0.7):
             accumulate_tp_fp(det_c, det_s, gt_c, stat, t)
+
+        if opt.track:
+            from airv2x_tpu.models.tracking import Tracker
+
+            det_boxes = np.asarray(det.boxes)[keep]
+            tracker = trackers.setdefault(scen, Tracker(sim_threshold=0.9))
+            tids = tracker.update(det_boxes, geometry_embedding(det_boxes))
+            track_lines.append(
+                f"{scen} frame {i}: "
+                + " ".join(
+                    f"id={tid} xy=({b[0]:.1f},{b[1]:.1f})"
+                    for tid, b in zip(tids, det_boxes)
+                )
+            )
 
         if opt.save_vis and i < 8:
             pts = scene["points"][scene["points_mask"]].reshape(-1, 4)
@@ -179,6 +228,10 @@ def main():
         print(line)
     with open(os.path.join(opt.model_dir, "results.txt"), "a") as f:
         f.write("\n".join(lines) + "\n")
+    if opt.track and track_lines:
+        with open(os.path.join(opt.model_dir, "tracks.txt"), "w") as f:
+            f.write("\n".join(track_lines) + "\n")
+        print(f"wrote {len(track_lines)} tracked frames to tracks.txt")
 
 
 if __name__ == "__main__":
