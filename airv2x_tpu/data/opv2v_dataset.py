@@ -61,11 +61,14 @@ class OPV2VDataset:
     """Index an OPV2V-format split and produce fixed-shape samples."""
 
     def __init__(self, hypes: dict, split_dir: str, train: bool = True,
-                 use_radar: bool = False, seed: int = 0):
+                 use_radar: bool = False, seed: int = 0, wild=None):
+        from airv2x_tpu.data.airv2x_dataset import WildSettings
+
         self.hypes = hypes
         self.train = train
         self.use_radar = use_radar
         self.seed = seed
+        self.wild = wild or WildSettings()
         max_cav = hypes["train_params"]["max_cav"]
         if isinstance(max_cav, dict):
             max_cav = sum(max_cav.values())
@@ -75,6 +78,18 @@ class OPV2VDataset:
         self.max_num = int(hypes["postprocess"]["max_num"])
         self.proj_first = bool(
             hypes.get("fusion", {}).get("args", {}).get("proj_first", True)
+        )
+        # K-frame temporal samples (SCOPE / How2comm OPV2V families,
+        # intermediate_fusion_dataset_multi_frame_how2comm.py:28,93-104)
+        core = str(hypes.get("model", {}).get("core_method", "")).lower()
+        self.frames = int(
+            hypes.get("fusion", {}).get("args", {}).get("num_sweep_frames", 0)
+            or (
+                hypes.get("model", {}).get("args", {}).get("temporal_fusion", {}).get("frames", 0)
+                if any(k in core for k in ("scope", "how2comm"))
+                else 0
+            )
+            or 1
         )
 
         self.samples = []  # (scenario_path, sorted cav ids, timestamp)
@@ -94,17 +109,44 @@ class OPV2VDataset:
                     for f in os.listdir(os.path.join(spath, cavs[0]))
                     if f.endswith(".yaml") and "additional" not in f
                 )
-                for t in stamps:
-                    self.samples.append((spath, cavs, t))
+                for i in range(len(stamps)):
+                    self.samples.append((spath, cavs, stamps, i))
 
     def __len__(self):
         return len(self.samples)
 
-    def __getitem__(self, idx: int):
-        from airv2x_tpu.data.native import load_pcd_into
+    def __getitem__(self, idx: int, epoch: int = 0):
+        spath, cavs, stamps, ti = self.samples[idx]
+        rng = np.random.default_rng((self.seed, epoch, idx))
 
-        spath, cavs, stamp = self.samples[idx]
-        rng = np.random.default_rng((self.seed, idx))
+        if self.frames <= 1:
+            batch, gt, _ = self._assemble(spath, cavs, stamps[ti], rng)
+            return batch, gt
+
+        # oldest -> current; frame k's points stay in k's ego frame and
+        # history_t carries the k->current ego transform
+        ts = [max(ti - k, 0) for k in range(self.frames - 1, -1, -1)]
+        frames, poses = [], []
+        gt = None
+        for k in ts:
+            b, g, pose = self._assemble(spath, cavs, stamps[k], rng)
+            frames.append(b)
+            poses.append(pose)
+            gt = g
+        batch = {
+            key: np.stack([f[key] for f in frames])
+            for key in ("points", "points_mask", "agent_mask")
+        }
+        for key, v in frames[-1].items():
+            if key not in batch:
+                batch[key] = v
+        batch["history_t"] = np.stack(
+            [tf.pose_a_to_b(p, poses[-1]).astype(np.float32) for p in poses]
+        )
+        return batch, gt
+
+    def _assemble(self, spath, cavs, stamp, rng):
+        from airv2x_tpu.data.native import load_pcd_into
 
         metas = {}
         for cav in cavs:
@@ -113,6 +155,17 @@ class OPV2VDataset:
                 metas[cav] = _load_yaml(ypath)
         ego_id = cavs[0]
         ego_pose = metas[ego_id]["lidar_pose"]
+
+        # wild settings: gaussian localization noise on non-ego poses
+        # (opv2v basedataset wild_setting, like the AirV2X path)
+        if self.wild.loc_error:
+            for cav in cavs[1:]:
+                if cav in metas:
+                    metas[cav] = dict(metas[cav])
+                    metas[cav]["lidar_pose"] = tf.add_pose_noise(
+                        metas[cav]["lidar_pose"], rng,
+                        self.wild.xyz_std, self.wild.ryp_std,
+                    )
 
         # comm-range gate + nearest-k
         chosen = [(0.0, ego_id)]
@@ -205,4 +258,4 @@ class OPV2VDataset:
             batch["radar_points"] = radar_points
             batch["radar_points_mask"] = radar_mask
         gt = {"boxes": boxes, "mask": mask, "classes": classes}
-        return batch, gt
+        return batch, gt, ego_pose

@@ -74,3 +74,39 @@ def test_opv2v_walk_and_sample(tmp_path, rng):
     assert abs(box[3] - 1.5) < 0.05
     assert abs(box[4] - 2.0) < 0.05
     assert abs(box[5] - 4.4) < 0.05
+
+
+def test_opv2v_multiframe_temporal(tmp_path, rng):
+    """K-frame OPV2V samples with history transforms (scope/how2comm diet)."""
+    root = _fixture(str(tmp_path), rng)
+    hypes = _hypes()
+    hypes["model"] = {
+        "core_method": "point_pillar_scope",
+        "args": {"temporal_fusion": {"frames": 2}},
+    }
+    ds = OPV2VDataset(hypes, root, train=False)
+    assert ds.frames == 2
+    batch, gt = ds[1]  # second timestamp -> frames (t0, t1)
+    L, n = ds.layout.total, ds.max_points
+    assert batch["points"].shape == (2, L, n, 4)
+    assert batch["agent_mask"].shape == (2, L)
+    assert batch["history_t"].shape == (2, 4, 4)
+    np.testing.assert_allclose(batch["history_t"][-1], np.eye(4), atol=1e-6)
+    assert gt["mask"].any()
+
+
+def test_opv2v_wild_loc_noise(tmp_path, rng):
+    """Localization noise perturbs non-ego clouds (wild settings)."""
+    from airv2x_tpu.data.airv2x_dataset import WildSettings
+
+    root = _fixture(str(tmp_path), rng)
+    clean = OPV2VDataset(_hypes(), root, train=False)[0][0]
+    noisy = OPV2VDataset(
+        _hypes(), root, train=False,
+        wild=WildSettings(loc_error=True, xyz_std=1.0, ryp_std=2.0),
+    )[0][0]
+    # ego slot (0) unchanged, non-ego points move
+    np.testing.assert_allclose(clean["points"][0], noisy["points"][0])
+    m = clean["points_mask"][1] & noisy["points_mask"][1]
+    if m.any():
+        assert np.abs(clean["points"][1][m] - noisy["points"][1][m]).max() > 0.05
