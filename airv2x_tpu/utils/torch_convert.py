@@ -16,6 +16,16 @@ Tensor layout rules (torch -> flax):
   * BatchNorm{1,2}d weight/bias    -> params scale/bias;
     running_mean/var               -> batch_stats mean/var.
 
+Note on psm channel semantics: the reference *trains* the A*C class map
+in anchor-major layout (loss/point_pillar_loss_multiclass.py:110,200 views
+(B, H, W, A, C)) but its own decode reads it class-major
+(voxel_postprocessor.py:714 views (B, C, A, H, W)) — an upstream
+inconsistency that scrambles decode-time class labels. Converted
+checkpoints keep the training-consistent anchor-major meaning, which is
+what our decode (data/postprocess.py) uses; detection scores/boxes are
+unaffected either way (tests/test_reference_golden.py
+::test_postprocess_pipeline_parity).
+
 Structure mapping is per model family; see ``CONVERTERS``. Every converter
 works on a ``TorchState`` scope (tracks consumed keys so leftovers are
 reported) and an ``Assigner`` over the flax variables.

@@ -284,3 +284,94 @@ def test_tp_fp_ap_golden(rng):
         if isinstance(ap_ref, tuple):
             ap_ref = ap_ref[0]
         assert abs(ap_mine - ap_ref) < 1e-9, f"AP diverges @{t}"
+
+
+def test_postprocess_pipeline_parity(ref_postprocessor, rng):
+    """Full postprocess pipeline on identical raw head outputs: reference
+    post_process_airv2x (sigmoid gate -> delta decode -> project -> large/z
+    filters -> rotated NMS -> range mask) vs decode_detections — identical
+    surviving boxes and scores, and identical single-class AP against a gt
+    set.
+
+    Class labels are intentionally NOT compared: the reference trains psm
+    in anchor-major channel layout (loss/point_pillar_loss_multiclass.py
+    :110,200 views (B,H,W,A,C)) but its decode reads it class-major
+    (voxel_postprocessor.py:714 views (B,C,A,H,W)) — an upstream
+    inconsistency that scrambles decode-time labels. Our decode keeps the
+    training-consistent anchor-major layout.
+    """
+    from airv2x_tpu.data.postprocess import decode_detections
+    from airv2x_tpu.eval.ap import (
+        accumulate_tp_fp,
+        calculate_ap,
+        new_result_stat,
+    )
+    from airv2x_tpu.ops import geometry as geo
+    from airv2x_tpu.ops.anchors import generate_anchor_grid
+
+    anchors = generate_anchor_grid(ANCHOR_PARAMS["anchor_args"])
+    h, w, a, _ = anchors.shape
+    num_class = 7
+    lr = ANCHOR_PARAMS["anchor_args"]["cav_lidar_range"]
+
+    srng = np.random.default_rng(42)
+    psm = srng.normal(-1, 1, (h, w, a * num_class)).astype(np.float32)
+    rm = srng.normal(0, 0.2, (h, w, a * 7)).astype(np.float32)
+    obj = srng.normal(-2.2, 1.2, (h, w, a)).astype(np.float32)  # sparse gate
+
+    data_dict = {
+        "ego": {
+            "transformation_matrix": torch.eye(4),
+            "anchor_box": torch.tensor(anchors),
+        }
+    }
+    output_dict = {
+        "ego": {
+            "psm": torch.tensor(psm.transpose(2, 0, 1))[None],
+            "rm": torch.tensor(rm.transpose(2, 0, 1))[None],
+            "obj": torch.tensor(obj.transpose(2, 0, 1))[None],
+        }
+    }
+    ref_corners, ref_scores, ref_labels, ref_boxes = (
+        ref_postprocessor.post_process_airv2x(data_dict, output_dict)
+    )
+
+    det = decode_detections(
+        jnp.asarray(psm),
+        jnp.asarray(rm),
+        jnp.asarray(obj),
+        jnp.asarray(anchors),
+        jnp.eye(4),
+        jnp.asarray(lr, jnp.float32),
+        num_class=num_class,
+        obj_threshold=ANCHOR_PARAMS["target_args"]["obj_threshold"],
+        nms_thresh=ANCHOR_PARAMS["nms_thresh"],
+        top_k=1024,
+    )
+    keep = np.asarray(det.mask)
+    my_scores = np.sort(np.asarray(det.scores)[keep])
+    ref_s = np.sort(ref_scores.numpy())
+    assert len(my_scores) == len(ref_s), (
+        f"kept {len(my_scores)} vs reference {len(ref_s)}"
+    )
+    np.testing.assert_allclose(my_scores, ref_s, atol=1e-5)
+
+    # identical single-class AP on a synthetic gt set
+    gt = _random_boxes(np.random.default_rng(7), 6, lr)
+    gt_c = np.asarray(geo.boxes_to_corners_bev(jnp.asarray(gt), "hwl"))
+
+    my_stat = new_result_stat()
+    ref_stat = new_result_stat()
+    order_mine = np.argsort(-np.asarray(det.scores)[keep])
+    my_corners = np.asarray(det.corners)[keep][:, :4, :2]
+    for t in (0.3, 0.5, 0.7):
+        accumulate_tp_fp(
+            my_corners, np.asarray(det.scores)[keep], gt_c, my_stat, t
+        )
+        accumulate_tp_fp(
+            ref_corners.numpy()[:, :4, :2], ref_scores.numpy(), gt_c,
+            ref_stat, t,
+        )
+        assert abs(
+            calculate_ap(my_stat, t) - calculate_ap(ref_stat, t)
+        ) < 1e-9, f"AP diverges @{t}"
