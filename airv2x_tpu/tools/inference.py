@@ -29,6 +29,13 @@ def parse_args():
         help="override the config's objectness gate (0 = use config)",
     )
     p.add_argument("--seed", type=int, default=123)
+    p.add_argument(
+        "--fusion_method",
+        choices=["intermediate", "late"],
+        default="intermediate",
+        help="late = run the model per agent and fuse boxes after decode "
+        "(reference inference_utils.inference_late_fusion)",
+    )
     return p.parse_args()
 
 
@@ -41,7 +48,7 @@ def main():
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
 
     from airv2x_tpu.config import load_yaml, save_yaml
-    from airv2x_tpu.data.postprocess import decode_detections
+    from airv2x_tpu.data.postprocess import decode_detections, decode_late_fusion
     from airv2x_tpu.data.synthetic import make_scene
     from airv2x_tpu.eval.ap import (
         accumulate_tp_fp,
@@ -94,6 +101,42 @@ def main():
     lidar_range = jnp.asarray(hypes["preprocess"]["cav_lidar_range"], jnp.float32)
 
     @jax.jit
+    def infer_late(state_params, state_stats, batch):
+        # per-agent forward: replicate the sample L times with a one-hot
+        # agent mask so each replica sees exactly one live agent in its
+        # natural slot (works for hetero layouts), then box-level fusion at
+        # decode — the reference's no-collaboration late path
+        pts = batch["points"][0]
+        l = pts.shape[0]
+        rep = lambda a: jnp.broadcast_to(a[0][None], (l,) + a[0].shape)
+        per_agent = {
+            "points": rep(batch["points"]),
+            "points_mask": rep(batch["points_mask"]),
+            "agent_mask": jnp.eye(l, dtype=bool) & batch["agent_mask"][0][None],
+            "pairwise_t": jnp.broadcast_to(jnp.eye(4), (l, l, 4, 4)),
+            "prior_encoding": rep(batch["prior_encoding"]),
+        }
+        out = model.apply(
+            {"params": state_params, "batch_stats": state_stats},
+            per_agent,
+            train=False,
+        )
+        det = decode_late_fusion(
+            out["psm"],
+            out["rm"],
+            out.get("obj", out["psm"]),
+            anchors,
+            batch["pairwise_t"][0],
+            batch["agent_mask"][0],
+            lidar_range,
+            num_class=hypes["num_class"],
+            obj_threshold=tgt["obj_threshold"],
+            nms_thresh=hypes["postprocess"]["nms_thresh"],
+            top_k=int(hypes["postprocess"].get("nms_top_k", 512)),
+        )
+        return det, out.get("comm_rate", jnp.asarray(0.0))
+
+    @jax.jit
     def infer(state_params, state_stats, batch):
         out = model.apply(
             {"params": state_params, "batch_stats": state_stats}, batch, train=False
@@ -118,7 +161,8 @@ def main():
     for _ in range(opt.num_scenes):
         scene, gt = make_scene(rng, layout, **scene_kw)
         batch = jax.tree.map(lambda x: jnp.asarray(x)[None], scene)
-        det, rate = infer(state.params, state.batch_stats, batch)
+        run = infer_late if opt.fusion_method == "late" else infer
+        det, rate = run(state.params, state.batch_stats, batch)
         comm_rates.append(float(rate))
 
         keep = np.asarray(det.mask)

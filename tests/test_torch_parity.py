@@ -12,6 +12,8 @@ downsample_conv, naive_compress}.py, models/where2comm_modules/where2comm_fuse.p
 models/airv2x_where2com.py.
 """
 
+import sys
+
 import numpy as np
 import pytest
 
