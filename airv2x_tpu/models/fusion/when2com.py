@@ -27,9 +27,12 @@ class _ConvBNRelu(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        # explicit (1,1) padding: torch's k3 p1 s2 samples different
+        # positions than lax SAME (which pads (0,1)) — matters for
+        # checkpoint-converted weights
         x = nn.Conv(
             self.filters, (3, 3), strides=(self.stride, self.stride),
-            padding="SAME", dtype=self.dtype,
+            padding=[(1, 1), (1, 1)], dtype=self.dtype,
         )(x)
         x = nn.BatchNorm(
             use_running_average=not train, momentum=BN_MOMENTUM, epsilon=BN_EPS,

@@ -182,6 +182,13 @@ def convert_bn(ts: TorchState, asg: Assigner, path: tuple, *, scope=""):
         s.get("num_batches_tracked")  # consume; flax has no equivalent
 
 
+
+def convert_layernorm(ts: TorchState, asg: Assigner, path: tuple, *, scope=""):
+    s = ts.sub(scope) if scope else ts
+    asg.put("params", path + ("scale",), to_np(s.get("weight")))
+    asg.put("params", path + ("bias",), to_np(s.get("bias")))
+
+
 def convert_pillar_vfe(
     ts: TorchState, asg: Assigner, base: tuple, *, fast: bool, num_layers: int = 1
 ):
@@ -302,13 +309,10 @@ def convert_hetero_encoder(ts: TorchState, asg: Assigner, args: dict):
 # model-family converters
 
 
-def convert_airv2x_where2comm(sd: dict, variables: dict, hypes: dict) -> Assigner:
-    """Airv2xWhere2com (models/airv2x_where2com.py) -> Airv2xWhere2comm."""
-    args = dict(hypes["model"]["args"])
-    args.setdefault("preprocess", hypes.get("preprocess"))
-    ts = TorchState(strip_module_prefix(sd))
-    asg = Assigner(variables)
-
+def _convert_airv2x_trunk(ts: TorchState, asg: Assigner, args: dict):
+    """The shared Airv2xBase spine: per-type encoders, BEV backbone, shrink
+    conv, compressor, det/seg heads — identical across the AirV2X model
+    family (each model file repeats this block)."""
     convert_hetero_encoder(ts, asg, args)
 
     bb = args["modality_fusion"]["base_bev_backbone"]
@@ -317,7 +321,7 @@ def convert_airv2x_where2comm(sd: dict, variables: dict, hypes: dict) -> Assigne
         asg,
         ("backbone",),
         layer_nums=bb["layer_nums"],
-        upsample_strides=bb["upsample_strides"],
+        upsample_strides=bb.get("upsample_strides", ()),
     )
 
     shrink = args["modality_fusion"].get("shrink_header", {})
@@ -333,10 +337,76 @@ def convert_airv2x_where2comm(sd: dict, variables: dict, hypes: dict) -> Assigne
     else:
         convert_seg_head(ts, asg)
 
+
+def convert_airv2x_where2comm(sd: dict, variables: dict, hypes: dict) -> Assigner:
+    """Airv2xWhere2com (models/airv2x_where2com.py) -> Airv2xWhere2comm."""
+    args = dict(hypes["model"]["args"])
+    args.setdefault("preprocess", hypes.get("preprocess"))
+    ts = TorchState(strip_module_prefix(sd))
+    asg = Assigner(variables)
+
+    _convert_airv2x_trunk(ts, asg, args)
+
     # fusion_net: AttentionFusion has no parameters; the gaussian comm filter
     # is a frozen constant we re-derive analytically (where2comm_fuse.py:66-81)
     for k in list(ts.sub("fusion_net").keys()):
         ts.consumed.add(k)
+    asg.torch_leftovers = ts.leftovers()
+    return asg
+
+
+def convert_policy_net(ts: TorchState, asg: Assigner, base: tuple):
+    """policy_net4 (when2com.py:288-308): conv{1..5}.cbr_unit.{0 conv,1 bn}
+    -> PolicyNet_0/_ConvBNRelu_{0..4}/{Conv_0, BatchNorm_0}."""
+    for i in range(5):
+        blk = ts.sub(f"conv{i + 1}.cbr_unit")
+        dst = base + (f"_ConvBNRelu_{i}",)
+        convert_conv(blk, asg, dst + ("Conv_0",), scope="0")
+        convert_bn(blk, asg, dst + ("BatchNorm_0",), scope="1")
+
+
+def convert_km_generator(
+    ts: TorchState, asg: Assigner, base: tuple, *, feat_hw: tuple
+):
+    """km_generator (when2com.py:270-286): fc.{0,2,4} -> Dense_{0,1,2}.
+
+    The first Linear flattens the (256, h, w) torch NCHW map; our flax twin
+    flattens NHWC, so its input features are permuted (C,H,W) -> (H,W,C).
+    """
+    h, w = feat_hw
+    w0 = to_np(ts.get("fc.0.weight"))  # (256, 256*h*w) over (C, H, W) order
+    w0 = (
+        w0.reshape(-1, 256, h, w).transpose(0, 2, 3, 1).reshape(w0.shape[0], -1)
+    )
+    asg.put("params", base + ("Dense_0", "kernel"), w0.T)
+    asg.put("params", base + ("Dense_0", "bias"), to_np(ts.get("fc.0.bias")))
+    convert_linear(ts, asg, base + ("Dense_1",), scope="fc.2")
+    convert_linear(ts, asg, base + ("Dense_2",), scope="fc.4")
+
+
+def convert_airv2x_when2com(sd: dict, variables: dict, hypes: dict) -> Assigner:
+    """Airv2xWhen2com (models/airv2x_when2com.py) -> When2com twin."""
+    args = dict(hypes["model"]["args"])
+    args.setdefault("preprocess", hypes.get("preprocess"))
+    ts = TorchState(strip_module_prefix(sd))
+    asg = Assigner(variables)
+
+    _convert_airv2x_trunk(ts, asg, args)
+
+    w2c = args["when2com_fusion"]
+    feat_hw = (int(w2c["H"]) // 4, int(w2c["W"]) // 4)
+    fus = ts.sub("fusion_net")
+    convert_policy_net(
+        fus.sub("query_key_net"), asg, ("fusion_net", "PolicyNet_0")
+    )
+    convert_km_generator(
+        fus.sub("key_net"), asg, ("fusion_net", "key_net"), feat_hw=feat_hw
+    )
+    convert_km_generator(
+        fus.sub("query_net"), asg, ("fusion_net", "query_net"), feat_hw=feat_hw
+    )
+    convert_linear(fus, asg, ("fusion_net", "Dense_0"), scope="attention_net.linear")
+
     asg.torch_leftovers = ts.leftovers()
     return asg
 
@@ -375,9 +445,179 @@ def convert_point_pillar_intermediate(sd: dict, variables: dict, hypes: dict):
     return asg
 
 
+
+
+def convert_swap_fusion(ts: TorchState, asg: Assigner, base: tuple, *, depth: int):
+    """SwapFusionEncoder (cobevt_modules/swap_fusion_modules.py:233-284,
+    mask variant :130-196) -> SwapFusionEncoder twin.
+
+    Per depth block: window_attention/window_ffd/grid_attention/grid_ffd,
+    each PreNormResidual(norm + fn). Attention fn: to_qkv, to_out.0, and an
+    Embedding bias table (copied verbatim — the relative index tables are
+    constructed identically on both sides). FeedForward fn: net.{0,3}.
+    """
+    for i in range(depth):
+        blk = ts.sub(f"layers.{i}")
+        dst = base + (f"SwapFusionBlock_{i}",)
+        for j, (att, ffd) in enumerate(
+            [("window_attention", "window_ffd"), ("grid_attention", "grid_ffd")]
+        ):
+            a = blk.sub(att)
+            convert_layernorm(a, asg, dst + (f"LayerNorm_{2 * j}",), scope="norm")
+            att_dst = dst + (f"WindowedAgentAttention_{j}",)
+            convert_linear(a, asg, att_dst + ("Dense_0",), scope="fn.to_qkv")
+            convert_linear(a, asg, att_dst + ("Dense_1",), scope="fn.to_out.0")
+            asg.put(
+                "params",
+                att_dst + ("relative_position_bias",),
+                to_np(a.get("fn.relative_position_bias_table.weight")),
+            )
+            if "fn.relative_position_index" in a:
+                # registered buffer; rebuilt analytically on our side
+                a.get("fn.relative_position_index")
+            f = blk.sub(ffd)
+            convert_layernorm(
+                f, asg, dst + (f"LayerNorm_{2 * j + 1}",), scope="norm"
+            )
+            ff_dst = dst + (f"_FeedForward_{j}",)
+            convert_linear(f, asg, ff_dst + ("Dense_0",), scope="fn.net.0")
+            convert_linear(f, asg, ff_dst + ("Dense_1",), scope="fn.net.3")
+
+    convert_layernorm(ts, asg, base + ("LayerNorm_0",), scope="mlp_head.2")
+    convert_linear(ts, asg, base + ("Dense_0",), scope="mlp_head.3")
+
+
+def convert_airv2x_cobevt(sd: dict, variables: dict, hypes: dict) -> Assigner:
+    """Airv2xCoBEVT (models/airv2x_cobevt.py) -> CoBEVT twin."""
+    args = dict(hypes["model"]["args"])
+    args.setdefault("preprocess", hypes.get("preprocess"))
+    ts = TorchState(strip_module_prefix(sd))
+    asg = Assigner(variables)
+
+    _convert_airv2x_trunk(ts, asg, args)
+    convert_swap_fusion(
+        ts.sub("fusion_net"),
+        asg,
+        ("fusion_net",),
+        depth=int(args["fax_fusion"]["depth"]),
+    )
+    asg.torch_leftovers = ts.leftovers()
+    return asg
+
+
+
+
+def convert_hgt_attention(ts: TorchState, asg: Assigner, base: tuple,
+                          num_types: int = 2):
+    """HGTCavAttention (hmsa.py:6-158): typed q/k/v/a ModuleLists + the
+    relation_att / relation_msg tensors (copied verbatim; our factored
+    per-edge-type contraction is algebraically identical)."""
+    for t in range(num_types):
+        convert_linear(ts, asg, base + (f"q_{t}",), scope=f"q_linears.{t}")
+        convert_linear(ts, asg, base + (f"k_{t}",), scope=f"k_linears.{t}")
+        convert_linear(ts, asg, base + (f"v_{t}",), scope=f"v_linears.{t}")
+        convert_linear(ts, asg, base + (f"a_{t}",), scope=f"a_linears.{t}")
+    asg.put("params", base + ("relation_att",), to_np(ts.get("relation_att")))
+    asg.put("params", base + ("relation_msg",), to_np(ts.get("relation_msg")))
+
+
+def convert_pyramid_window(ts: TorchState, asg: Assigner, base: tuple,
+                           *, n_scales: int, split_attn: bool):
+    """PyramidWindowAttention (mswin.py:102-145): pwmsa.{i} BaseWindow
+    attentions + optional SplitAttn."""
+    for i in range(n_scales):
+        wa = ts.sub(f"pwmsa.{i}")
+        dst = base + (f"BaseWindowAttention_{i}",)
+        convert_linear(wa, asg, dst + ("Dense_0",), scope="to_qkv")
+        asg.put(
+            "params", dst + ("pos_embedding",), to_np(wa.get("pos_embedding"))
+        )
+        convert_linear(wa, asg, dst + ("Dense_1",), scope="to_out.0")
+    if split_attn:
+        sa = ts.sub("split_attn")
+        dst = base + ("SplitAttn_0",)
+        convert_linear(sa, asg, dst + ("Dense_0",), scope="fc1")
+        convert_layernorm(sa, asg, dst + ("LayerNorm_0",), scope="bn1")
+        convert_linear(sa, asg, dst + ("Dense_1",), scope="fc2")
+
+
+def convert_v2xt_encoder(ts: TorchState, asg: Assigner, base: tuple, cfg: dict):
+    """V2XTEncoder (v2xvit_basic.py:135-200) -> V2XTEncoder twin."""
+    cav = cfg["cav_att_config"]
+    pw = cfg["pwindow_att_config"]
+    n_scales = len(pw["heads"])
+    use_split = pw["fusion_method"] == "split_attn"
+
+    if cav.get("use_RTE"):
+        rte = ts.sub("rte.emb")
+        convert_linear(rte, asg, base + ("RTE_0", "lin"), scope="lin")
+        if "emb.weight" in rte:
+            rte.get("emb.weight")  # frozen sinusoid table, rebuilt analytically
+    # prior_feed is constructed upstream but never called in forward
+    # (v2xvit_basic.py:155 vs :173-200) — dead parameters
+    for k in ("prior_feed.weight", "prior_feed.bias"):
+        if k in ts:
+            ts.get(k)
+
+    for d in range(int(cfg["depth"])):
+        layer = ts.sub(f"layers.{d}")
+        blk_dst = base + (f"V2XFusionBlock_{d}",)
+        blk = layer.sub("0")
+        for b in range(int(cfg["num_blocks"])):
+            inner = blk.sub(f"layers.{b}")
+            convert_layernorm(
+                inner, asg, blk_dst + (f"LayerNorm_{2 * b}",), scope="0.norm"
+            )
+            att = inner.sub("0.fn")
+            att_dst = blk_dst + (
+                f"HGTCavAttention_{b}" if cav.get("use_hetero")
+                else f"CavAttention_{b}",
+            )
+            if cav.get("use_hetero"):
+                convert_hgt_attention(att, asg, att_dst)
+            else:
+                convert_linear(att, asg, att_dst + ("Dense_0",), scope="to_qkv")
+                convert_linear(att, asg, att_dst + ("Dense_1",), scope="to_out.0")
+            convert_layernorm(
+                inner, asg, blk_dst + (f"LayerNorm_{2 * b + 1}",), scope="1.norm"
+            )
+            convert_pyramid_window(
+                inner.sub("1.fn"),
+                asg,
+                blk_dst + (f"PyramidWindowAttention_{b}",),
+                n_scales=n_scales,
+                split_attn=use_split,
+            )
+        ff = layer.sub("1")
+        convert_layernorm(ff, asg, base + (f"LayerNorm_{d}",), scope="norm")
+        convert_linear(ff, asg, base + (f"Dense_{2 * d}",), scope="fn.net.0")
+        convert_linear(ff, asg, base + (f"Dense_{2 * d + 1}",), scope="fn.net.3")
+
+
+def convert_airv2x_v2xvit(sd: dict, variables: dict, hypes: dict) -> Assigner:
+    """Airv2xV2XViT (models/airv2x_v2xvit.py) -> V2XTransformer twin."""
+    args = dict(hypes["model"]["args"])
+    args.setdefault("preprocess", hypes.get("preprocess"))
+    ts = TorchState(strip_module_prefix(sd))
+    asg = Assigner(variables)
+
+    _convert_airv2x_trunk(ts, asg, args)
+    convert_v2xt_encoder(
+        ts.sub("fusion_net.encoder"),
+        asg,
+        ("fusion_net", "V2XTEncoder_0"),
+        args["transformer"]["encoder"],
+    )
+    asg.torch_leftovers = ts.leftovers()
+    return asg
+
+
 CONVERTERS: dict[str, Callable[[dict, dict, dict], Assigner]] = {
     "airv2x_where2comm": convert_airv2x_where2comm,
     "airv2x_where2com": convert_airv2x_where2comm,
+    "airv2x_when2com": convert_airv2x_when2com,
+    "airv2x_cobevt": convert_airv2x_cobevt,
+    "airv2x_v2xvit": convert_airv2x_v2xvit,
     "point_pillar_intermediate": convert_point_pillar_intermediate,
 }
 

@@ -574,3 +574,227 @@ def test_convert_checkpoint_cli(w2c_setup, tmp_path, monkeypatch):
         nchw(out["psm"]), out_ref["psm"].numpy(), atol=1e-3, rtol=1e-3,
         what="cli psm",
     )
+
+
+# --------------------------------------------------------------------------
+# when2com fusion parity
+
+
+def test_when2com_fusion_parity(rng):
+    """Reference When2comFusion (policy conv net, key/query MLPs, MIMO
+    attention) vs When2comFusion on identical features with identity
+    transforms — converted weights, eval mode."""
+    from opencood.models.when2com_modules.when2com import When2comFusion
+
+    from airv2x_tpu.models.fusion.when2com import When2comFusion as FlaxW2C
+
+    h, w, c = 16, 32, 32
+    args = {
+        "voxel_size": [0.4, 0.4, 4],
+        "downsample_rate": 2,
+        "in_channels": c,
+        "H": h,
+        "W": w,
+        "query_size": 8,
+        "key_size": 32,
+        "mode": "softmax",
+    }
+    torch.manual_seed(21)
+    ref = When2comFusion(args).eval()
+    randomize_batchnorms(ref, rng)
+
+    l = 3
+    x = rng.normal(size=(1, l, h, w, c)).astype(np.float32)
+    with torch.no_grad():
+        out_ref, _ = ref(
+            torch.tensor(x[0].transpose(0, 3, 1, 2)),
+            torch.tensor([l]),
+            torch.eye(4).repeat(1, l, l, 1, 1),
+        )
+    out_ref = out_ref.numpy()[0]  # ego row, (C, H, W)
+
+    model = FlaxW2C(args=args)
+    batch_args = (
+        jnp.asarray(x),
+        jnp.ones((1, l), bool),
+        jnp.broadcast_to(jnp.eye(4), (1, l, l, 4, 4)),
+    )
+    variables = model.init(jax.random.PRNGKey(0), *batch_args, train=False)
+
+    ts = tc.TorchState(ref.state_dict())
+    asg = tc.Assigner(variables)
+    feat_hw = (h // 4, w // 4)
+    tc.convert_policy_net(ts.sub("query_key_net"), asg, ("PolicyNet_0",))
+    tc.convert_km_generator(
+        ts.sub("key_net"), asg, ("key_net",), feat_hw=feat_hw
+    )
+    tc.convert_km_generator(
+        ts.sub("query_net"), asg, ("query_net",), feat_hw=feat_hw
+    )
+    tc.convert_linear(ts, asg, ("Dense_0",), scope="attention_net.linear")
+    assert not asg.skipped, asg.skipped
+    from flax.traverse_util import flatten_dict
+
+    n_leaves = sum(len(flatten_dict(variables[col])) for col in variables)
+    assert len(asg.assigned) == n_leaves
+
+    out = model.apply(asg.variables, *batch_args, train=False)
+    assert_close(
+        np.asarray(out)[0].transpose(2, 0, 1), out_ref, atol=1e-3, rtol=1e-3,
+        what="when2com fused",
+    )
+
+
+def test_cobevt_swap_fusion_parity(rng):
+    """Reference SwapFusionBlockMask encoder vs SwapFusionEncoder on
+    identical features with a full mask, converted weights."""
+    from opencood.models.cobevt_modules.swap_fusion_modules import (
+        SwapFusionEncoder,
+    )
+
+    from airv2x_tpu.models.fusion.cobevt import SwapFusionEncoder as FlaxSwap
+
+    args = {
+        "input_dim": 32,
+        "mlp_dim": 32,
+        "agent_size": 3,
+        "window_size": 4,
+        "dim_head": 16,
+        "drop_out": 0.0,
+        "depth": 2,
+        "mask": True,
+    }
+    torch.manual_seed(31)
+    ref = SwapFusionEncoder(args).eval()
+
+    b, l, h, w, c = 1, 3, 8, 8, 32
+    x = rng.normal(size=(b, l, h, w, c)).astype(np.float32)
+    mask_t = torch.ones(b, h, w, 1, l)
+    with torch.no_grad():
+        out_ref = ref(
+            torch.tensor(x.transpose(0, 1, 4, 2, 3)), mask_t
+        ).numpy()  # (B, C, H, W)
+
+    model = FlaxSwap(args=args)
+    am = jnp.ones((b, l), bool)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x), am,
+                           train=False)
+    ts = tc.TorchState(ref.state_dict())
+    asg = tc.Assigner(variables)
+    tc.convert_swap_fusion(ts, asg, (), depth=args["depth"])
+    assert not asg.skipped, asg.skipped
+    from flax.traverse_util import flatten_dict
+
+    n_leaves = sum(len(flatten_dict(variables[col])) for col in variables)
+    assert len(asg.assigned) == n_leaves
+    assert ts.leftovers() == []
+
+    out = model.apply(asg.variables, jnp.asarray(x), am, train=False)
+    assert_close(
+        nchw(out), out_ref, atol=1e-3, rtol=1e-3, what="cobevt fused"
+    )
+
+
+@pytest.mark.parametrize("fusion_method", ["naive", "split_attn"])
+def test_v2xvit_transformer_parity(rng, fusion_method):
+    """Reference V2XTransformer (RTE + STTF + HGT + pyramid windows +
+    naive/split-attn fusion + FF) vs V2XTransformer on identical features
+    with identity transforms, converted weights."""
+    from opencood.models.v2xvit_modules.v2xvit_basic import V2XTransformer
+
+    from airv2x_tpu.models.fusion.v2xvit import V2XTransformer as FlaxV2XT
+
+    # the reference SplitAttn hard-codes dim 256 (split_attn.py:47)
+    dim = 256 if fusion_method == "split_attn" else 32
+    heads = [4, 2, 2] if fusion_method == "split_attn" else [4, 2]
+    dim_heads = (
+        [64, 128, 128] if fusion_method == "split_attn" else [8, 16]
+    )
+    windows = [2, 4, 8] if fusion_method == "split_attn" else [2, 4]
+    enc = {
+        "num_blocks": 1,
+        "depth": 1,
+        "use_roi_mask": False,
+        "use_RTE": True,
+        "RTE_ratio": 2,
+        "cav_att_config": {
+            "dim": dim,
+            "use_hetero": True,
+            "use_RTE": True,
+            "RTE_ratio": 2,
+            "heads": 4,
+            "dim_head": dim // 4,
+            "dropout": 0.0,
+        },
+        "pwindow_att_config": {
+            "dim": dim,
+            "heads": heads,
+            "dim_head": dim_heads,
+            "dropout": 0.0,
+            "window_size": windows,
+            "relative_pos_embedding": True,
+            "fusion_method": fusion_method,
+        },
+        "feed_forward": {"mlp_dim": dim, "dropout": 0.0},
+        "sttf": {"voxel_size": [0.4, 0.4, 4], "downsample_rate": 2},
+    }
+    torch.manual_seed(41)
+    ref = V2XTransformer({"encoder": enc}).eval()
+
+    b, l, h, w = 1, 3, 8, 8
+    x = rng.normal(size=(b, l, h, w, dim)).astype(np.float32)
+    # prior encoding per agent: velocity, dt, infra-type
+    prior = np.zeros((b, l, 3), np.float32)
+    prior[:, :, 1] = [0, 1, 2]  # time delays
+    prior[:, :, 2] = [0, 1, 0]  # hetero types
+    prior_maps = np.broadcast_to(prior[:, :, None, None, :], (b, l, h, w, 3))
+
+    x_with_prior = np.concatenate([x, prior_maps], axis=-1)
+    mask_t = torch.ones(b, l)  # no-roi path: (B, L), v2xvit_basic.py:186
+    eye = torch.eye(4).repeat(b, l, 1, 1)
+
+    # hmsa.py:137 calls torch.einsum(eq, [ops]) — the deprecated list form
+    # this torch version rejects; shim it for the reference call only
+    orig_einsum = torch.einsum
+
+    def einsum_shim(eq, *ops):
+        if len(ops) == 1 and isinstance(ops[0], (list, tuple)):
+            return orig_einsum(eq, *ops[0])
+        return orig_einsum(eq, *ops)
+
+    import opencood.models.v2xvit_modules.hmsa as hmsa_mod
+
+    hmsa_mod.torch.einsum = einsum_shim  # hmsa uses torch.einsum at call time
+    torch.einsum = einsum_shim
+    try:
+        with torch.no_grad():
+            out_ref = ref(
+                torch.tensor(x_with_prior), mask_t, eye
+            ).numpy()  # (B, H, W, C) ego
+    finally:
+        torch.einsum = orig_einsum
+
+    model = FlaxV2XT(args={"encoder": enc})
+    batch_args = (
+        jnp.asarray(x),
+        jnp.ones((b, l), bool),
+        jnp.broadcast_to(jnp.eye(4), (b, l, 4, 4)),
+        jnp.asarray(prior),
+    )
+    variables = model.init(jax.random.PRNGKey(0), *batch_args, train=False)
+    ts = tc.TorchState(ref.state_dict())
+    asg = tc.Assigner(variables)
+    tc.convert_v2xt_encoder(
+        ts.sub("encoder"), asg, ("V2XTEncoder_0",), enc
+    )
+    assert not asg.skipped, asg.skipped
+    assert ts.leftovers() == [], ts.leftovers()
+    from flax.traverse_util import flatten_dict
+
+    n_leaves = sum(len(flatten_dict(variables[col])) for col in variables)
+    assert len(asg.assigned) == n_leaves
+
+    out = model.apply(asg.variables, *batch_args, train=False)
+    assert_close(
+        np.asarray(out), out_ref, atol=2e-3, rtol=2e-3, what="v2xvit fused"
+    )
