@@ -38,7 +38,10 @@ class Airv2xHEAL(nn.Module):
             max_points_per_pillar=int(pre["args"].get("max_points_per_voxel", 32)),
             dtype=self.dtype,
         )
-        mod = args["modality_fusion"]
+        # cobevt/sicp reference configs keep the trunk keys at the
+        # model-args top level instead of under modality_fusion
+        # (airv2x_cobevt.py:37-48 vs airv2x_v2xvit.py:32-39)
+        mod = args.get("modality_fusion") or args
         bb = mod["base_bev_backbone"]
         self.backbone = ResNetBEVBackbone(
             layer_nums=bb["layer_nums"],

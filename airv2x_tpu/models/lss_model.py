@@ -30,7 +30,7 @@ class LiftSplatShoot(nn.Module):
         self.cam_encoder = LSSCameraEncoder(
             cfg=args[ego]["cam"], dtype=self.dtype, name="lss_encoder"
         )
-        bb = args["modality_fusion"]["base_bev_backbone"]
+        bb = (args.get("modality_fusion") or args)["base_bev_backbone"]
         self.backbone = BaseBEVBackbone(
             layer_nums=bb["layer_nums"],
             layer_strides=bb["layer_strides"],

@@ -315,7 +315,9 @@ def _convert_airv2x_trunk(ts: TorchState, asg: Assigner, args: dict):
     family (each model file repeats this block)."""
     convert_hetero_encoder(ts, asg, args)
 
-    bb = args["modality_fusion"]["base_bev_backbone"]
+    # cobevt/sicp keep trunk keys at the args top level (airv2x_cobevt.py:37)
+    mod = args.get("modality_fusion") or args
+    bb = mod["base_bev_backbone"]
     convert_bev_backbone(
         ts.sub("backbone"),
         asg,
@@ -324,12 +326,12 @@ def _convert_airv2x_trunk(ts: TorchState, asg: Assigner, args: dict):
         upsample_strides=bb.get("upsample_strides", ()),
     )
 
-    shrink = args["modality_fusion"].get("shrink_header", {})
+    shrink = mod.get("shrink_header", {})
     if shrink.get("use"):
         convert_downsample_conv(
             ts.sub("shrink_conv"), asg, ("shrink_conv",), n_layers=len(shrink["dim"])
         )
-    if int(args["modality_fusion"].get("compression", 0)) > 0:
+    if int(mod.get("compression", 0) or 0) > 0:
         convert_naive_compressor(ts.sub("naive_compressor"), asg, ("compressor",))
 
     if args["task"] == "det":

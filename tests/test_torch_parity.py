@@ -412,31 +412,12 @@ def _parity_hypes():
     }
 
 
-@pytest.fixture(scope="module")
-def w2c_setup():
-    """Reference torch model + flax twin with converted weights + one batch."""
-    # cv2-dependent debug write inside the reference forward (airv2x_where2com
-    # .py:137-139) targets ./debug — make sure the dir exists.
-    import os
-
-    os.makedirs("debug", exist_ok=True)
-
-    from opencood.models.airv2x_where2com import Airv2xWhere2com
-
-    from airv2x_tpu.models import build_model
+def _build_e2e_inputs(hypes, rng, prior: np.ndarray | None = None):
+    """One fully-occupied 4-agent sample in BOTH input formats: the
+    reference's per-type collated data_dict and our dense-slot batch.
+    Voxelization is shared so both PFNs see identical pillars."""
     from airv2x_tpu.ops.voxelize import pillarize
 
-    rng = np.random.default_rng(7)
-    hypes = _parity_hypes()
-    args = hypes["model"]["args"]
-
-    torch.manual_seed(11)
-    targs = dict(args)
-    targs["where2com_fusion"] = dict(args["where2com_fusion"])
-    ref = Airv2xWhere2com(targs).eval()
-    randomize_batchnorms(ref, rng)
-
-    # one sample, all four slots occupied: 2 veh + 1 rsu + 1 drone
     n_pts = 600
     lr = hypes["preprocess"]["cav_lidar_range"]
     pts = np.zeros((4, n_pts, 4), np.float32)
@@ -447,7 +428,6 @@ def w2c_setup():
         pts[a, :, 3] = rng.uniform(0, 1, n_pts)
     pts_mask = np.ones((4, n_pts), bool)
 
-    # shared voxelization (the model recomputes the identical thing inside)
     vox = [
         pillarize(
             jnp.asarray(pts[a]),
@@ -479,23 +459,54 @@ def w2c_setup():
             "record_len": torch.tensor([len(agent_ids)]),
         }
 
+    if prior is None:
+        prior = np.zeros((1, 4, 3), np.float32)
     data_dict = {
         "vehicle": type_dict([0, 1]),
         "rsu": type_dict([2]),
         "drone": type_dict([3]),
         "img_pairwise_t_matrix_collab": torch.eye(4).repeat(1, 4, 4, 1, 1),
+        "spatial_correction_matrix": torch.eye(4).repeat(1, 4, 1, 1),
+        "prior_encoding": torch.tensor(prior),
     }
-    with torch.no_grad():
-        out_ref = ref(data_dict)
-
-    model = build_model(hypes)
     batch = {
         "points": jnp.asarray(pts[None]),
         "points_mask": jnp.asarray(pts_mask[None]),
         "agent_mask": jnp.ones((1, 4), bool),
         "pairwise_t": jnp.broadcast_to(jnp.eye(4), (1, 4, 4, 4)),
-        "prior_encoding": jnp.zeros((1, 4, 3)),
+        "prior_encoding": jnp.asarray(prior),
     }
+    return data_dict, batch
+
+
+@pytest.fixture(scope="module")
+def w2c_setup():
+    """Reference torch model + flax twin with converted weights + one batch."""
+    # cv2-dependent debug write inside the reference forward (airv2x_where2com
+    # .py:137-139) targets ./debug — make sure the dir exists.
+    import os
+
+    os.makedirs("debug", exist_ok=True)
+
+    from opencood.models.airv2x_where2com import Airv2xWhere2com
+
+    from airv2x_tpu.models import build_model
+
+    rng = np.random.default_rng(7)
+    hypes = _parity_hypes()
+    args = hypes["model"]["args"]
+
+    torch.manual_seed(11)
+    targs = dict(args)
+    targs["where2com_fusion"] = dict(args["where2com_fusion"])
+    ref = Airv2xWhere2com(targs).eval()
+    randomize_batchnorms(ref, rng)
+
+    data_dict, batch = _build_e2e_inputs(hypes, rng)
+    with torch.no_grad():
+        out_ref = ref(data_dict)
+
+    model = build_model(hypes)
     variables = model.init(
         {"params": jax.random.PRNGKey(0), "comm": jax.random.PRNGKey(1)},
         batch,
@@ -797,4 +808,210 @@ def test_v2xvit_transformer_parity(rng, fusion_method):
     out = model.apply(asg.variables, *batch_args, train=False)
     assert_close(
         np.asarray(out), out_ref, atol=2e-3, rtol=2e-3, what="v2xvit fused"
+    )
+
+
+def test_v2xvit_e2e_parity(rng):
+    """Full Airv2xV2XViT forward parity with converted weights: encoder ->
+    backbone -> shrink -> regroup+prior -> V2XTransformer -> heads."""
+    from opencood.models.airv2x_v2xvit import Airv2xV2XVit
+
+    from airv2x_tpu.models import build_model
+
+    hypes = _parity_hypes()
+    dim = 64
+    hypes["model"]["core_method"] = "airv2x_v2xvit"
+    args = hypes["model"]["args"]
+    del args["where2com_fusion"]
+    args["transformer"] = {
+        "encoder": {
+            "num_blocks": 1,
+            "depth": 1,
+            "use_roi_mask": False,
+            "use_RTE": True,
+            "RTE_ratio": 2,
+            "cav_att_config": {
+                "dim": dim,
+                "use_hetero": True,
+                "use_RTE": True,
+                "RTE_ratio": 2,
+                "heads": 4,
+                "dim_head": 16,
+                "dropout": 0.0,
+            },
+            "pwindow_att_config": {
+                "dim": dim,
+                "heads": [4, 2],
+                "dim_head": [16, 32],
+                "dropout": 0.0,
+                "window_size": [2, 4],
+                "relative_pos_embedding": True,
+                "fusion_method": "naive",
+            },
+            "feed_forward": {"mlp_dim": dim, "dropout": 0.0},
+            "sttf": {"voxel_size": [0.4, 0.4, 4.0], "downsample_rate": 4},
+        }
+    }
+
+    torch.manual_seed(51)
+    ref = Airv2xV2XVit(dict(args)).eval()
+    randomize_batchnorms(ref, rng)
+
+    srng = np.random.default_rng(13)
+    prior = np.zeros((1, 4, 3), np.float32)
+    prior[0, :, 0] = srng.uniform(0, 0.5, 4)  # velocity
+    prior[0, :, 1] = [0, 1, 0, 2]  # time delays
+    prior[0, :, 2] = [0, 0, 1, 0]  # infra flags (types)
+    data_dict, batch = _build_e2e_inputs(hypes, srng, prior=prior)
+
+    import opencood.models.v2xvit_modules.hmsa as hmsa_mod
+
+    orig_einsum = torch.einsum
+
+    def einsum_shim(eq, *ops):
+        if len(ops) == 1 and isinstance(ops[0], (list, tuple)):
+            return orig_einsum(eq, *ops[0])
+        return orig_einsum(eq, *ops)
+
+    torch.einsum = einsum_shim
+    try:
+        with torch.no_grad():
+            out_ref = ref(data_dict)
+    finally:
+        torch.einsum = orig_einsum
+
+    model = build_model(hypes)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "comm": jax.random.PRNGKey(1)},
+        batch,
+        train=False,
+    )
+    asg = tc.convert_state_dict(ref.state_dict(), variables, hypes)
+    assert not asg.skipped, asg.skipped
+    assert asg.torch_leftovers == [], asg.torch_leftovers
+    from flax.traverse_util import flatten_dict
+
+    n_leaves = sum(len(flatten_dict(asg.variables[c])) for c in asg.variables)
+    assert len(asg.assigned) == n_leaves
+
+    out = model.apply(asg.variables, batch, train=False)
+    assert_close(
+        nchw(out["psm"]), out_ref["psm"].numpy(), atol=2e-3, rtol=2e-3,
+        what="v2xvit e2e psm",
+    )
+    assert_close(
+        nchw(out["rm"]), out_ref["rm"].numpy(), atol=2e-3, rtol=2e-3,
+        what="v2xvit e2e rm",
+    )
+
+
+def test_cobevt_e2e_parity(rng):
+    """Full Airv2xCoBEVT forward parity with converted weights."""
+    from opencood.models.airv2x_cobevt import Airv2xCoBEVT
+
+    from airv2x_tpu.models import build_model
+
+    hypes = _parity_hypes()
+    hypes["model"]["core_method"] = "airv2x_cobevt"
+    args = hypes["model"]["args"]
+    del args["where2com_fusion"]
+    # the reference cobevt reads the trunk keys at the args TOP level, not
+    # under modality_fusion (airv2x_cobevt.py:37-48) — mirror its config
+    # layout for both sides
+    mod = args.pop("modality_fusion")
+    args["base_bev_backbone"] = mod["base_bev_backbone"]
+    args["shrink_header"] = mod["shrink_header"]
+    args["compression"] = mod["compression"]
+    args["fax_fusion"] = {
+        "input_dim": 64,
+        "mlp_dim": 64,
+        "window_size": 4,
+        "dim_head": 16,
+        "drop_out": 0.0,
+        "depth": 2,
+        "mask": True,
+    }
+    args["max_cav_num"] = 4  # injected by load_airv2x_params upstream
+
+    torch.manual_seed(61)
+    ref = Airv2xCoBEVT(dict(args)).eval()
+    randomize_batchnorms(ref, rng)
+
+    srng = np.random.default_rng(17)
+    data_dict, batch = _build_e2e_inputs(hypes, srng)
+    with torch.no_grad():
+        out_ref = ref(data_dict)
+
+    model = build_model(hypes)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "comm": jax.random.PRNGKey(1)},
+        batch,
+        train=False,
+    )
+    asg = tc.convert_state_dict(ref.state_dict(), variables, hypes)
+    assert not asg.skipped, asg.skipped
+    assert asg.torch_leftovers == [], asg.torch_leftovers
+
+    out = model.apply(asg.variables, batch, train=False)
+    assert_close(
+        nchw(out["psm"]), out_ref["psm"].numpy(), atol=2e-3, rtol=2e-3,
+        what="cobevt e2e psm",
+    )
+    assert_close(
+        nchw(out["rm"]), out_ref["rm"].numpy(), atol=2e-3, rtol=2e-3,
+        what="cobevt e2e rm",
+    )
+
+
+def test_when2com_e2e_parity(rng):
+    """Full Airv2xWhen2com forward parity with converted weights."""
+    from opencood.models.airv2x_when2com import Airv2xWhen2com
+
+    from airv2x_tpu.models import build_model
+
+    hypes = _parity_hypes()
+    hypes["model"]["core_method"] = "airv2x_when2com"
+    args = hypes["model"]["args"]
+    del args["where2com_fusion"]
+    # backbone stages on the 32x32 grid give 16x16 and 8x8; the deblocks
+    # upsample both to the FIRST stage's 16x16 before concat + shrink
+    args["when2com_fusion"] = {
+        "voxel_size": [0.4, 0.4, 4.0],
+        "downsample_rate": 2,
+        "in_channels": 64,
+        "H": 16,
+        "W": 16,
+        "query_size": 8,
+        "key_size": 32,
+        "mode": "softmax",
+    }
+
+    torch.manual_seed(71)
+    ref = Airv2xWhen2com(dict(args)).eval()
+    randomize_batchnorms(ref, rng)
+
+    srng = np.random.default_rng(19)
+    data_dict, batch = _build_e2e_inputs(hypes, srng)
+    batch["pairwise_t_full"] = jnp.broadcast_to(jnp.eye(4), (1, 4, 4, 4, 4))
+    with torch.no_grad():
+        out_ref = ref(data_dict)
+
+    model = build_model(hypes)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "comm": jax.random.PRNGKey(1)},
+        batch,
+        train=False,
+    )
+    asg = tc.convert_state_dict(ref.state_dict(), variables, hypes)
+    assert not asg.skipped, asg.skipped
+    assert asg.torch_leftovers == [], asg.torch_leftovers
+
+    out = model.apply(asg.variables, batch, train=False)
+    assert_close(
+        nchw(out["psm"]), out_ref["psm"].numpy(), atol=2e-3, rtol=2e-3,
+        what="when2com e2e psm",
+    )
+    assert_close(
+        nchw(out["rm"]), out_ref["rm"].numpy(), atol=2e-3, rtol=2e-3,
+        what="when2com e2e rm",
     )
