@@ -390,3 +390,67 @@ def load_seg_labels(agent_dir: str):
         _binary_label_map(agent_dir, DYNAMIC_SEG_FILES),
         _binary_label_map(agent_dir, STATIC_SEG_FILES),
     )
+
+
+# OPV2V camera conventions (opv2v/basedataset.py:614-660,
+# lidar_camera_intermediate_fusion_dataset.py:104-125): four cameras per
+# vehicle, files ``<timestamp>_camera{i}.png``, per-camera ``cords`` pose +
+# ``intrinsic``; lidar->cam = x1_to_x2(lidar_pose, cam_pose) @ S with the
+# axis-swap S below, so cam(LSS)->lidar = inv of that.
+_OPV2V_SWAP = np.array(
+    [[0, 0, 1, 0], [1, 0, 0, 0], [0, -1, 0, 0], [0, 0, 0, 1]], np.float64
+)
+
+
+def load_opv2v_cam_inputs(
+    cav_dir: str,
+    stamp: str,
+    meta: dict,
+    data_aug_conf: dict,
+    train: bool,
+    rng=None,
+):
+    """Load + augment an OPV2V vehicle's four cameras into the LSS input
+    contract (imgs/intrinsics/rots/trans/post_rots/post_trans), or None when
+    no camera files exist."""
+    from PIL import Image
+
+    from airv2x_tpu.utils import transforms as tf
+
+    lidar_pose = meta["lidar_pose"]
+    imgs, intrins, rots, trans, post_rots, post_trans = [], [], [], [], [], []
+    for i in range(4):
+        cam_key = f"camera{i}"
+        path = os.path.join(cav_dir, f"{stamp}_camera{i}.png")
+        if cam_key not in meta or not os.path.isfile(path):
+            continue
+        entry = meta[cam_key]
+        intrin = np.asarray(entry["intrinsic"], np.float32).reshape(3, 3)
+        l2c = tf.pose_a_to_b(lidar_pose, entry["cords"]) @ _OPV2V_SWAP
+        cam_to_lidar = np.linalg.inv(l2c).astype(np.float32)
+
+        pil = [Image.open(path)]
+        aug = sample_augmentation(data_aug_conf, train, rng)
+        pil, post_rot2, post_tran2 = img_transform(pil, *aug)
+        post_rot = np.eye(3, dtype=np.float32)
+        post_tran = np.zeros(3, np.float32)
+        post_rot[:2, :2] = post_rot2
+        post_tran[:2] = post_tran2
+
+        imgs.append(normalize_img(pil[0]))
+        intrins.append(intrin)
+        rots.append(cam_to_lidar[:3, :3])
+        trans.append(cam_to_lidar[:3, 3])
+        post_rots.append(post_rot)
+        post_trans.append(post_tran)
+
+    if not imgs:
+        return None
+    return {
+        "imgs": np.stack(imgs).astype(np.float32),
+        "intrinsics": np.stack(intrins),
+        "rots": np.stack(rots),
+        "trans": np.stack(trans),
+        "post_rots": np.stack(post_rots),
+        "post_trans": np.stack(post_trans),
+    }

@@ -36,10 +36,15 @@ def _load_json(path):
 
 
 class DAIRDataset:
-    def __init__(self, hypes: dict, root_dir: str, train: bool = True):
+    def __init__(self, hypes: dict, root_dir: str, train: bool = True,
+                 wild=None, seed: int = 0):
+        from airv2x_tpu.data.airv2x_dataset import WildSettings
+
         self.hypes = hypes
         self.train = train
         self.root = root_dir
+        self.wild = wild or WildSettings()
+        self.seed = seed
         self.layout = SlotLayout(counts=(2, 0, 0))
         self.lidar_range = hypes["preprocess"]["cav_lidar_range"]
         self.max_points = int(hypes["preprocess"].get("max_points", 60000))
@@ -62,6 +67,14 @@ class DAIRDataset:
         info = self.frames[idx]
         veh_pose = info["vehicle_lidar_pose"]
         inf_pose = info["infrastructure_lidar_pose"]
+        # wild settings: gaussian localization noise on the infrastructure
+        # pose (the reference's dair basedataset loc_err path — the ego
+        # vehicle stays clean)
+        if self.wild.loc_error:
+            rng = np.random.default_rng((self.seed, idx))
+            inf_pose = tf.add_pose_noise(
+                inf_pose, rng, self.wild.xyz_std, self.wild.ryp_std
+            )
 
         L, n = 2, self.max_points
         points = np.zeros((L, n, 4), np.float32)

@@ -79,6 +79,16 @@ class OPV2VDataset:
         self.proj_first = bool(
             hypes.get("fusion", {}).get("args", {}).get("proj_first", True)
         )
+        # camera branch (lidar_camera_intermediate_fusion_dataset twin):
+        # loads <stamp>_camera{0..3}.png when the model's vehicle config
+        # requests the cam modality
+        margs = hypes.get("model", {}).get("args", {})
+        veh = margs.get("vehicle") if isinstance(margs.get("vehicle"), dict) else {}
+        self.cam_conf = (
+            veh.get("cam", {}).get("data_aug_conf")
+            if "cam" in veh.get("modalities", [])
+            else None
+        )
         # K-frame temporal samples (SCOPE / How2comm OPV2V families,
         # intermediate_fusion_dataset_multi_frame_how2comm.py:28,93-104)
         core = str(hypes.get("model", {}).get("core_method", "")).lower()
@@ -190,6 +200,7 @@ class OPV2VDataset:
         pairwise_full = np.tile(np.eye(4, dtype=np.float32), (L, L, 1, 1))
         t_cav_ego_all = []
 
+        cam_slots = {}
         for slot, (dist, cav) in enumerate(chosen):
             agent_mask[slot] = True
             pose = metas[cav]["lidar_pose"]
@@ -210,6 +221,16 @@ class OPV2VDataset:
                     ego_mask=2.0,
                 )
                 points_mask[slot, :cnt] = True
+            if self.cam_conf is not None:
+                from airv2x_tpu.data.camera import load_opv2v_cam_inputs
+
+                cam = load_opv2v_cam_inputs(
+                    os.path.join(spath, cav), stamp, metas[cav],
+                    self.cam_conf, self.train, rng,
+                )
+                if cam is not None:
+                    cam_slots[slot] = cam
+
             if self.use_radar:
                 rpcd = os.path.join(spath, cav, f"{stamp}_radar.pcd")
                 if os.path.isfile(rpcd):
@@ -257,5 +278,16 @@ class OPV2VDataset:
         if self.use_radar:
             batch["radar_points"] = radar_points
             batch["radar_points_mask"] = radar_mask
+        if self.cam_conf is not None and cam_slots:
+            first = next(iter(cam_slots.values()))
+            stacked = {}
+            for key, arr in first.items():
+                full = np.zeros((L,) + arr.shape, arr.dtype)
+                if key in ("post_rots", "intrinsics", "rots"):
+                    full[...] = np.eye(3, dtype=arr.dtype)
+                for slot, cam in cam_slots.items():
+                    full[slot] = cam[key]
+                stacked[key] = full
+            batch["cam_vehicle"] = stacked
         gt = {"boxes": boxes, "mask": mask, "classes": classes}
         return batch, gt, ego_pose

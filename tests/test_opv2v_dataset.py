@@ -110,3 +110,59 @@ def test_opv2v_wild_loc_noise(tmp_path, rng):
     m = clean["points_mask"][1] & noisy["points_mask"][1]
     if m.any():
         assert np.abs(clean["points"][1][m] - noisy["points"][1][m]).max() > 0.05
+
+
+def test_opv2v_camera_loading(tmp_path, rng):
+    """camera{0..3} pngs + per-camera cords/intrinsics -> LSS input dict
+    (lidar_camera_intermediate_fusion_dataset twin)."""
+    from PIL import Image
+
+    root = _fixture(str(tmp_path), rng)
+    # add two cameras to every cav frame
+    scen = os.path.join(root, "2021_08_16_01_01_01")
+    h, w = 64, 96
+    intr = [[w * 0.8, 0, w / 2], [0, w * 0.8, h / 2], [0, 0, 1]]
+    for cav in os.listdir(scen):
+        cdir = os.path.join(scen, cav)
+        for t in ("000068", "000070"):
+            ypath = os.path.join(cdir, f"{t}.yaml")
+            meta = yaml.safe_load(open(ypath))
+            for i in range(2):
+                Image.fromarray(
+                    rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+                ).save(os.path.join(cdir, f"{t}_camera{i}.png"))
+                cam_pose = list(meta["lidar_pose"])
+                cam_pose[2] += 0.5
+                cam_pose[4] += 90.0 * i
+                meta[f"camera{i}"] = {"cords": cam_pose, "intrinsic": intr}
+            yaml.safe_dump(meta, open(ypath, "w"))
+
+    hypes = _hypes()
+    hypes["model"] = {
+        "core_method": "point_pillar",
+        "args": {
+            "vehicle": {
+                "modalities": ["lidar", "cam"],
+                "cam": {
+                    "data_aug_conf": {
+                        "H": h,
+                        "W": w,
+                        "final_dim": [32, 48],
+                        "resize_lim": [0.5, 0.6],
+                        "bot_pct_lim": [0.0, 0.0],
+                        "rot_lim": [0.0, 0.0],
+                        "rand_flip": False,
+                    }
+                },
+            }
+        },
+    }
+    ds = OPV2VDataset(hypes, root, train=False)
+    batch, _ = ds[0]
+    cams = batch["cam_vehicle"]
+    L = ds.layout.total
+    assert cams["imgs"].shape == (L, 2, 32, 48, 3)
+    assert cams["intrinsics"].shape == (L, 2, 3, 3)
+    # live slots carry real (non-identity) camera rotations
+    assert np.abs(cams["rots"][0, 0] - np.eye(3)).max() > 0.1
+    assert np.isfinite(cams["imgs"]).all()
