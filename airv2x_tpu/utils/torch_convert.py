@@ -414,8 +414,10 @@ def convert_airv2x_when2com(sd: dict, variables: dict, hypes: dict) -> Assigner:
 
 
 def convert_point_pillar_intermediate(sd: dict, variables: dict, hypes: dict):
-    """point_pillar_intermediate.py (single-encoder PointPillars + fusion):
-    pillar_vfe + scatter + backbone + shrink/compress + heads."""
+    """point_pillar{,_early,_max,_intermediate,_where2comm}.py — the flat
+    OPV2V family shares one trunk (pillar_vfe + scatter + backbone +
+    shrink/compress + cls/reg heads); max/att/where2comm fusions carry no
+    learned params beyond the frozen gaussian comm filter."""
     args = dict(hypes["model"]["args"])
     args.setdefault("preprocess", hypes.get("preprocess"))
     ts = TorchState(strip_module_prefix(sd))
@@ -443,6 +445,10 @@ def convert_point_pillar_intermediate(sd: dict, variables: dict, hypes: dict):
     if int(args.get("compression", 0)) > 0:
         convert_naive_compressor(ts.sub("naive_compressor"), asg, ("compressor",))
     convert_det_heads(ts, asg)
+    # param-less / frozen fusion blocks (gaussian comm filter etc.)
+    for scope in ("fusion_net", "naive_communication"):
+        for k in list(ts.sub(scope).keys()):
+            ts.consumed.add(k)
     asg.torch_leftovers = ts.leftovers()
     return asg
 
@@ -621,6 +627,11 @@ CONVERTERS: dict[str, Callable[[dict, dict, dict], Assigner]] = {
     "airv2x_cobevt": convert_airv2x_cobevt,
     "airv2x_v2xvit": convert_airv2x_v2xvit,
     "point_pillar_intermediate": convert_point_pillar_intermediate,
+    "point_pillar": convert_point_pillar_intermediate,
+    "point_pillar_early": convert_point_pillar_intermediate,
+    "point_pillar_max": convert_point_pillar_intermediate,
+    "point_pillar_where2comm": convert_point_pillar_intermediate,
+    "airv2x_early": convert_point_pillar_intermediate,
 }
 
 
