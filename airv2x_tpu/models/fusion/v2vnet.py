@@ -61,9 +61,13 @@ class V2VNetFusion(nn.Module):
 
         ones = jnp.ones((b, l, h, w, 1), jnp.float32)
         msg_cnn = nn.Conv(c, (3, 3), padding="SAME", dtype=self.dtype)
+        # reference configs use a per-layer list: kernel_size: [[3, 3]]
+        ks = a["conv_gru"]["kernel_size"]
+        if isinstance(ks[0], (list, tuple)):
+            ks = ks[0]
         gru = ConvGRUCell(
             hidden_dim=c,
-            kernel_size=tuple(a["conv_gru"]["kernel_size"]),
+            kernel_size=tuple(ks),
             dtype=self.dtype,
         )
         am = agent_mask[:, :, None, None, None].astype(x.dtype)  # (B, L, 1,1,1)
@@ -87,7 +91,12 @@ class V2VNetFusion(nn.Module):
                         jnp.sum(am, axis=1), 1.0
                     )
                 if gru_flag:
-                    return gru(agg_feat, feats[:, i])
+                    # the reference runs the ConvGRU on a length-1 sequence
+                    # from a ZERO hidden state, with the concatenated
+                    # [ego, aggregated message] as the input
+                    # (v2v_fuse.py:168-177, convgru.py init_hidden)
+                    gru_in = jnp.concatenate([feats[:, i], agg_feat], axis=-1)
+                    return gru(gru_in, jnp.zeros_like(feats[:, i]))
                 return feats[:, i] + agg_feat
 
             updated = [receiver(i) for i in range(l)]

@@ -620,12 +620,38 @@ def convert_airv2x_v2xvit(sd: dict, variables: dict, hypes: dict) -> Assigner:
     return asg
 
 
+
+
+def convert_v2vnet_fusion(ts: TorchState, asg: Assigner, base: tuple):
+    """V2VNetFusion (v2v_fuse.py:18-195): msg conv, single-layer ConvGRU
+    (cell_list.0.conv_gates/conv_can), output MLP."""
+    convert_conv(ts, asg, base + ("Conv_0",), scope="msg_cnn")
+    gru = ts.sub("conv_gru.cell_list.0")
+    convert_conv(gru, asg, base + ("ConvGRUCell_0", "Conv_0"), scope="conv_gates")
+    convert_conv(gru, asg, base + ("ConvGRUCell_0", "Conv_1"), scope="conv_can")
+    convert_linear(ts, asg, base + ("Dense_0",), scope="mlp")
+
+
+def convert_airv2x_v2vnet(sd: dict, variables: dict, hypes: dict) -> Assigner:
+    """Airv2xV2VNet (models/airv2x_v2vnet.py) -> V2VNet twin."""
+    args = dict(hypes["model"]["args"])
+    args.setdefault("preprocess", hypes.get("preprocess"))
+    ts = TorchState(strip_module_prefix(sd))
+    asg = Assigner(variables)
+
+    _convert_airv2x_trunk(ts, asg, args)
+    convert_v2vnet_fusion(ts.sub("fusion_net"), asg, ("fusion_net",))
+    asg.torch_leftovers = ts.leftovers()
+    return asg
+
+
 CONVERTERS: dict[str, Callable[[dict, dict, dict], Assigner]] = {
     "airv2x_where2comm": convert_airv2x_where2comm,
     "airv2x_where2com": convert_airv2x_where2comm,
     "airv2x_when2com": convert_airv2x_when2com,
     "airv2x_cobevt": convert_airv2x_cobevt,
     "airv2x_v2xvit": convert_airv2x_v2xvit,
+    "airv2x_v2vnet": convert_airv2x_v2vnet,
     "point_pillar_intermediate": convert_point_pillar_intermediate,
     "point_pillar": convert_point_pillar_intermediate,
     "point_pillar_early": convert_point_pillar_intermediate,

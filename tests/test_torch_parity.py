@@ -1015,3 +1015,58 @@ def test_when2com_e2e_parity(rng):
         nchw(out["rm"]), out_ref["rm"].numpy(), atol=2e-3, rtol=2e-3,
         what="when2com e2e rm",
     )
+
+
+def test_v2vnet_fusion_parity(rng):
+    """Reference V2VNetFusion (msg conv + zero-hidden ConvGRU + MLP) vs
+    V2VNetFusion on identical features, identity transforms, converted
+    weights."""
+    from opencood.models.v2vnet_modules.v2v_fuse import V2VNetFusion
+
+    from airv2x_tpu.models.fusion.v2vnet import V2VNetFusion as FlaxV2V
+
+    h, w, c = 16, 16, 32
+    args = {
+        "voxel_size": [0.4, 0.4, 4],
+        "downsample_rate": 2,
+        "num_iteration": 2,
+        "in_channels": c,
+        "gru_flag": True,
+        "agg_operator": "avg",
+        "conv_gru": {"H": h, "W": w, "kernel_size": [[3, 3]], "num_layers": 1},
+    }
+    torch.manual_seed(81)
+    ref = V2VNetFusion(args).eval()
+
+    l = 3
+    x = rng.normal(size=(1, l, h, w, c)).astype(np.float32)
+    with torch.no_grad():
+        out_ref, _ = ref(
+            torch.tensor(x[0].transpose(0, 3, 1, 2)),
+            torch.tensor([l]),
+            torch.eye(4).repeat(1, l, l, 1, 1),
+        )
+    out_ref = out_ref.numpy()[0]  # (C, H, W)
+
+    model = FlaxV2V(args=args)
+    batch_args = (
+        jnp.asarray(x),
+        jnp.ones((1, l), bool),
+        jnp.broadcast_to(jnp.eye(4), (1, l, l, 4, 4)),
+    )
+    variables = model.init(jax.random.PRNGKey(0), *batch_args, train=False)
+    ts = tc.TorchState(ref.state_dict())
+    asg = tc.Assigner(variables)
+    tc.convert_v2vnet_fusion(ts, asg, ())
+    assert not asg.skipped, asg.skipped
+    assert ts.leftovers() == [], ts.leftovers()
+    from flax.traverse_util import flatten_dict
+
+    n_leaves = sum(len(flatten_dict(variables[col])) for col in variables)
+    assert len(asg.assigned) == n_leaves
+
+    out = model.apply(asg.variables, *batch_args, train=False)
+    assert_close(
+        np.asarray(out)[0].transpose(2, 0, 1), out_ref, atol=1e-3, rtol=1e-3,
+        what="v2vnet fused",
+    )
