@@ -34,9 +34,11 @@ class BasicBlock(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         identity = x
+        # explicit (1,1) padding: torch k3 p1 s2 samples differently than
+        # lax SAME (which pads (0,1)) — matters for converted checkpoints
         y = nn.Conv(
             self.planes, (3, 3), strides=(self.stride, self.stride),
-            padding="SAME", use_bias=False, dtype=self.dtype,
+            padding=[(1, 1), (1, 1)], use_bias=False, dtype=self.dtype,
         )(x)
         y = nn.relu(_bn(train, self.dtype)(y))
         y = nn.Conv(self.planes, (3, 3), padding="SAME", use_bias=False,
@@ -68,7 +70,8 @@ class BottleneckX(nn.Module):
         y = nn.Conv(width, (1, 1), use_bias=False, dtype=self.dtype)(x)
         y = nn.relu(_bn(train, self.dtype)(y))
         y = nn.Conv(
-            width, (3, 3), strides=(self.stride, self.stride), padding="SAME",
+            width, (3, 3), strides=(self.stride, self.stride),
+            padding=[(1, 1), (1, 1)],
             feature_group_count=self.groups, use_bias=False, dtype=self.dtype,
         )(y)
         y = nn.relu(_bn(train, self.dtype)(y))

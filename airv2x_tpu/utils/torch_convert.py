@@ -645,6 +645,95 @@ def convert_airv2x_v2vnet(sd: dict, variables: dict, hypes: dict) -> Assigner:
     return asg
 
 
+
+
+def convert_resnet_backbone(
+    ts: TorchState, asg: Assigner, base: tuple, *, layer_nums,
+    upsample_strides=(), resnext: bool = False,
+):
+    """ResNetBEVBackbone / PyramidFusion trunk (sub_modules/resblock.py,
+    base_bev_backbone_resnet.py): resnet.layer{i}.{j} blocks + deblocks."""
+    block = "BottleneckX" if resnext else "BasicBlock"
+    n_convs = 3 if resnext else 2
+    for i, n in enumerate(layer_nums):
+        for j in range(n):
+            blk = ts.sub(f"resnet.layer{i}.{j}")
+            dst = base + ("resnet", f"stages_{i}", f"{block}_{j}")
+            for k in range(n_convs):
+                convert_conv(blk, asg, dst + (f"Conv_{k}",), scope=f"conv{k + 1}")
+                convert_bn(
+                    blk, asg, dst + (f"BatchNorm_{k}",), scope=f"bn{k + 1}"
+                )
+            if f"resnet.layer{i}.{j}.downsample.0.weight" in ts:
+                convert_conv(
+                    blk, asg, dst + (f"Conv_{n_convs}",), scope="downsample.0"
+                )
+                convert_bn(
+                    blk, asg, dst + (f"BatchNorm_{n_convs}",), scope="downsample.1"
+                )
+    for i, stride in enumerate(upsample_strides):
+        deb = ts.sub(f"deblocks.{i}")
+        if f"deblocks.{i}.0.weight" not in ts:
+            continue
+        dst = base + ("resnet", f"deblocks_{i}")
+        if stride >= 1:
+            convert_deconv(deb, asg, dst + ("ConvTranspose_0",), scope="0")
+        else:
+            convert_conv(deb, asg, dst + ("Conv_0",), scope="0")
+        convert_bn(deb, asg, dst + ("BatchNorm_0",), scope="1")
+
+
+def convert_pyramid_fusion(ts: TorchState, asg: Assigner, base: tuple, cfg: dict):
+    """PyramidFusion (fuse_modules/pyramid_fuse.py:64-166): ResNeXt trunk +
+    per-level occupancy heads."""
+    convert_resnet_backbone(
+        ts,
+        asg,
+        base,
+        layer_nums=cfg["layer_nums"],
+        upsample_strides=cfg.get("upsample_strides", ()),
+        resnext=bool(cfg.get("resnext")),
+    )
+    for i in range(len(cfg["layer_nums"])):
+        if f"single_head_{i}.weight" in ts:
+            convert_conv(ts, asg, base + (f"single_head_{i}",), scope=f"single_head_{i}")
+
+
+def convert_airv2x_heal(sd: dict, variables: dict, hypes: dict) -> Assigner:
+    """Airv2xHEAL (models/airv2x_heal.py) -> HEAL twin: per-type encoders,
+    single-stage ResNet modality backbone, pyramid fusion, shrink, heads."""
+    args = dict(hypes["model"]["args"])
+    args.setdefault("preprocess", hypes.get("preprocess"))
+    ts = TorchState(strip_module_prefix(sd))
+    asg = Assigner(variables)
+
+    convert_hetero_encoder(ts, asg, args)
+    mod = args.get("modality_fusion") or args
+    bb = mod["base_bev_backbone"]
+    convert_resnet_backbone(
+        ts.sub("backbone"),
+        asg,
+        ("backbone",),
+        layer_nums=bb["layer_nums"],
+        upsample_strides=bb.get("upsample_strides", ()),
+        resnext=False,
+    )
+    convert_pyramid_fusion(
+        ts.sub("pyramid_backbone"), asg, ("pyramid",), args["fusion_backbone"]
+    )
+    shrink = mod.get("shrink_header", {})
+    if shrink.get("use"):
+        convert_downsample_conv(
+            ts.sub("shrink_conv"), asg, ("shrink_conv",), n_layers=len(shrink["dim"])
+        )
+    if args["task"] == "det":
+        convert_det_heads(ts, asg)
+    else:
+        convert_seg_head(ts, asg)
+    asg.torch_leftovers = ts.leftovers()
+    return asg
+
+
 CONVERTERS: dict[str, Callable[[dict, dict, dict], Assigner]] = {
     "airv2x_where2comm": convert_airv2x_where2comm,
     "airv2x_where2com": convert_airv2x_where2comm,
@@ -652,6 +741,7 @@ CONVERTERS: dict[str, Callable[[dict, dict, dict], Assigner]] = {
     "airv2x_cobevt": convert_airv2x_cobevt,
     "airv2x_v2xvit": convert_airv2x_v2xvit,
     "airv2x_v2vnet": convert_airv2x_v2vnet,
+    "airv2x_heal": convert_airv2x_heal,
     "point_pillar_intermediate": convert_point_pillar_intermediate,
     "point_pillar": convert_point_pillar_intermediate,
     "point_pillar_early": convert_point_pillar_intermediate,

@@ -1070,3 +1070,59 @@ def test_v2vnet_fusion_parity(rng):
         np.asarray(out)[0].transpose(2, 0, 1), out_ref, atol=1e-3, rtol=1e-3,
         what="v2vnet fused",
     )
+
+
+def test_heal_pyramid_parity(rng):
+    """Reference PyramidFusion.forward_single (ResNeXt trunk + occupancy
+    heads + multiscale decode) vs PyramidFusion.forward_single with
+    converted weights."""
+    from opencood.models.fuse_modules.pyramid_fuse import PyramidFusion
+
+    from airv2x_tpu.models.fusion.pyramid import PyramidFusion as FlaxPyramid
+
+    cfg = {
+        "resnext": True,
+        "layer_nums": [2, 2],
+        "layer_strides": [1, 2],
+        "num_filters": [32, 64],
+        "upsample_strides": [1, 2],
+        "num_upsample_filter": [32, 32],
+        "inplanes": 32,
+        "anchor_number": 2,
+    }
+    torch.manual_seed(91)
+    ref = PyramidFusion(cfg, input_channels=32).eval()
+    randomize_batchnorms(ref, rng)
+
+    x = rng.normal(size=(2, 16, 16, 32)).astype(np.float32)
+    with torch.no_grad():
+        final_ref, occ_ref = ref.forward_single(torch.tensor(nchw(x)))
+
+    model = FlaxPyramid(args=cfg, inplanes=32)
+    variables = model.init(
+        jax.random.PRNGKey(0), jnp.asarray(x), train=False,
+        method=FlaxPyramid.forward_single,
+    )
+    ts = tc.TorchState(ref.state_dict())
+    asg = tc.Assigner(variables)
+    tc.convert_pyramid_fusion(ts, asg, (), cfg)
+    assert not asg.skipped, asg.skipped
+    assert ts.leftovers() == [], ts.leftovers()
+    from flax.traverse_util import flatten_dict
+
+    n_leaves = sum(len(flatten_dict(variables[col])) for col in variables)
+    assert len(asg.assigned) == n_leaves
+
+    final, occ = model.apply(
+        asg.variables, jnp.asarray(x), train=False,
+        method=FlaxPyramid.forward_single,
+    )
+    assert_close(
+        nchw(final), final_ref.numpy(), atol=1e-3, rtol=1e-3,
+        what="pyramid decoded",
+    )
+    for i, (o, o_ref) in enumerate(zip(occ, occ_ref)):
+        assert_close(
+            nchw(o), o_ref.numpy(), atol=1e-3, rtol=1e-3,
+            what=f"occ map {i}",
+        )
