@@ -238,7 +238,7 @@ class AirV2XDataset:
     def __getitem__(self, idx: int, epoch: int = 0):
         spath, stamps, t = self.samples[idx]
         rng = np.random.default_rng((self.seed, epoch, idx))
-        agents, _ = self._agents_at(spath, stamps[t])
+        agents, objects = self._agents_at(spath, stamps[t])
         vehicles = [k for k, a in agents.items() if a["type"] == "vehicle"]
         if not vehicles:
             raise ValueError(f"no vehicle agent in {spath}/{stamps[t]}")
@@ -248,7 +248,9 @@ class AirV2XDataset:
         )
 
         if self.frames <= 1:
-            batch, gt, _ = self._assemble(spath, stamps, t, ego_id, rng)
+            batch, gt, _ = self._assemble(
+                spath, stamps, t, ego_id, rng, preloaded=(agents, objects)
+            )
             return batch, gt
 
         # K-frame temporal sample (oldest -> current), same ego across
@@ -278,8 +280,13 @@ class AirV2XDataset:
         )
         return batch, gt
 
-    def _assemble(self, spath, stamps, t, ego_id, rng):
-        agents, objects = self._agents_at(spath, stamps[t])
+    def _assemble(self, spath, stamps, t, ego_id, rng, preloaded=None):
+        if preloaded is not None:
+            # __getitem__ already walked this timestamp for ego selection —
+            # reuse instead of re-reading every agent's metadata.pkl
+            agents, objects = preloaded
+        else:
+            agents, objects = self._agents_at(spath, stamps[t])
         if ego_id not in agents:  # ego absent in a historical frame
             vehicles = [k for k, a in agents.items() if a["type"] == "vehicle"]
             ego_id = vehicles[0]
@@ -432,22 +439,12 @@ class AirV2XDataset:
 
         # camera inputs: fixed (L, Ncam, fH, fW, C) per type, zero-filled
         # outside the type's populated slots
+        from airv2x_tpu.data.camera import stack_cam_slots
+
         for tname, slots_data in cam_slots.items():
             if not slots_data:
                 continue
-            first = next(iter(slots_data.values()))
-            stacked = {}
-            for key, arr in first.items():
-                full = np.zeros((L,) + arr.shape, arr.dtype)
-                # keep post_rots/intrinsics invertible in empty slots
-                if key in ("post_rots", "intrinsics", "rots"):
-                    full[...] = np.eye(3, dtype=arr.dtype)
-                elif key == "depth_maps":
-                    full[...] = -1.0  # -1 = no lidar return, NOT level 0
-                for slot, cam in slots_data.items():
-                    full[slot] = cam[key]
-                stacked[key] = full
-            batch[f"cam_{tname}"] = stacked
+            batch[f"cam_{tname}"] = stack_cam_slots(slots_data, L)
 
         if self.load_seg and ego_dir is not None:
             from airv2x_tpu.data.camera import load_seg_labels

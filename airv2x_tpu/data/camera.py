@@ -454,3 +454,30 @@ def load_opv2v_cam_inputs(
         "post_rots": np.stack(post_rots),
         "post_trans": np.stack(post_trans),
     }
+
+
+def stack_cam_slots(cam_slots: dict, num_slots: int) -> dict:
+    """(slot -> per-agent cam dict) -> fixed (L, ...) arrays, zero-filled
+    outside populated slots. Identity-filled for keys that must stay
+    invertible; depth maps use -1 (= no lidar return, never level 0).
+
+    Shared by the AirV2X and OPV2V dataset adapters.
+    """
+    first = next(iter(cam_slots.values()))
+    stacked = {}
+    for key, arr in first.items():
+        full = np.zeros((num_slots,) + arr.shape, arr.dtype)
+        if key in ("post_rots", "intrinsics", "rots"):
+            full[...] = np.eye(3, dtype=arr.dtype)
+        elif key == "depth_maps":
+            full[...] = -1.0
+        for slot, cam in cam_slots.items():
+            if cam[key].shape != arr.shape:
+                raise ValueError(
+                    f"camera block '{key}' shape {cam[key].shape} differs "
+                    f"from slot 0's {arr.shape} — agents of one type must "
+                    "carry the same number of cameras"
+                )
+            full[slot] = cam[key]
+        stacked[key] = full
+    return stacked

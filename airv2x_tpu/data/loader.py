@@ -71,8 +71,8 @@ class RealDataLoader:
         self.is_seg = task == "seg"
 
     def __len__(self):
-        """Batches per epoch for this host."""
-        n = len(self.dataset) // self.num_hosts
+        """Batches per epoch for this host (matches what batches() yields)."""
+        n = -(-len(self.dataset) // self.num_hosts)  # padded equal shards
         if self.drop_last:
             return n // self.batch_size
         return -(-n // self.batch_size)
@@ -101,7 +101,21 @@ class RealDataLoader:
         gts = [s[1] for s in samples]
         seg_keys = ("dynamic_seg_label", "static_seg_label")
         batch = {}
-        for k in batches[0]:
+        # only keys every sample carries can be stacked; optional blocks
+        # (cam_* when some sample's camera files are missing on disk) are
+        # dropped for the whole batch rather than crashing mid-epoch
+        common = set(batches[0])
+        for b in batches[1:]:
+            common &= set(b)
+        dropped = set(batches[0]) - common
+        if dropped - set(seg_keys):
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "collate: dropping keys missing in some samples: %s",
+                sorted(dropped - set(seg_keys)),
+            )
+        for k in sorted(common):
             if k in seg_keys:
                 continue
             if isinstance(batches[0][k], dict):
@@ -136,7 +150,7 @@ class RealDataLoader:
         }
         if self.is_seg:
             for k in seg_keys:
-                if k in batches[0]:
+                if all(k in b for b in batches):
                     batch["labels"][k] = np.stack(
                         [b[k] for b in batches]
                     ).astype(np.int32)
@@ -145,13 +159,23 @@ class RealDataLoader:
     # ---------- iteration ----------
 
     def epoch_indices(self, epoch: int):
-        """Shuffled (train) per-host index shard for one epoch."""
+        """Shuffled (train) per-host index shard for one epoch.
+
+        Shards are padded (cyclic repetition) to equal length like torch's
+        DistributedSampler: the jitted train step contains cross-host
+        collectives, so every host MUST run the same number of steps or
+        multi-host training deadlocks on the last batches of an epoch.
+        """
         n = len(self.dataset)
         order = (
             np.random.default_rng((self.seed, epoch)).permutation(n)
             if self.train
             else np.arange(n)
         )
+        per_host = -(-n // self.num_hosts)  # ceil
+        if per_host * self.num_hosts != n:
+            pad = np.resize(order, per_host * self.num_hosts)
+            order = pad
         return order[self.host_id :: self.num_hosts].tolist()
 
     def batches(self, epoch: int = 0, with_gt: bool = False):

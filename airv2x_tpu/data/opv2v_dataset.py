@@ -279,15 +279,8 @@ class OPV2VDataset:
             batch["radar_points"] = radar_points
             batch["radar_points_mask"] = radar_mask
         if self.cam_conf is not None and cam_slots:
-            first = next(iter(cam_slots.values()))
-            stacked = {}
-            for key, arr in first.items():
-                full = np.zeros((L,) + arr.shape, arr.dtype)
-                if key in ("post_rots", "intrinsics", "rots"):
-                    full[...] = np.eye(3, dtype=arr.dtype)
-                for slot, cam in cam_slots.items():
-                    full[slot] = cam[key]
-                stacked[key] = full
-            batch["cam_vehicle"] = stacked
+            from airv2x_tpu.data.camera import stack_cam_slots
+
+            batch["cam_vehicle"] = stack_cam_slots(cam_slots, L)
         gt = {"boxes": boxes, "mask": mask, "classes": classes}
         return batch, gt, ego_pose

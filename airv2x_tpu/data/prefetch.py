@@ -14,6 +14,13 @@ import threading
 from typing import Callable, Iterator
 
 
+class _WorkerError:
+    """Exception captured in a worker, re-raised at the consumer."""
+
+    def __init__(self, exc: BaseException):
+        self.exc = exc
+
+
 class Prefetcher:
     """Iterate ``make_batch(idx)`` over ``indices`` with bounded lookahead."""
 
@@ -55,7 +62,12 @@ class Prefetcher:
                 except queue.Empty:
                     slots.release()
                     return
-                batch = self.make_batch(idx)
+                try:
+                    batch = self.make_batch(idx)
+                except BaseException as e:  # propagate to the consumer:
+                    # a corrupt sample must fail the epoch loudly, not hang
+                    # the pos-ordered wait below forever
+                    batch = _WorkerError(e)
                 with cond:
                     out[pos] = batch
                     cond.notify_all()
@@ -77,6 +89,10 @@ class Prefetcher:
                             raise RuntimeError("prefetch workers died")
                     batch = out.pop(pos)
                 slots.release()
+                if isinstance(batch, _WorkerError):
+                    raise RuntimeError(
+                        "prefetch worker failed while preparing a batch"
+                    ) from batch.exc
                 yield batch
         finally:
             stop.set()

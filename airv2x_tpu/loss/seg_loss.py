@@ -1,7 +1,7 @@
 """BEV segmentation loss (twin of loss/vanilla_seg_loss.py:7-118).
 
 Class-weighted cross entropy on the dynamic (1 + d classes) and static
-(background + surface + lane, weights [1, s, l]) branches, combined as
+(weights [1, s, l]) branches, combined as
 ``d_coe * dynamic + s_coe * static``. Predictions NHWC, labels (B, H, W)
 int. Torch CrossEntropyLoss with class weights normalizes by the sum of the
 per-pixel target-class weights — reproduced here.

@@ -128,9 +128,15 @@ class Airv2xBM2CP(PostBackboneFusionModel):
             # reference's ori_x path (airv2x_bm2cp.py seg branch)
             _, conf = self.seg_head(flat_g, return_features=True)
         psm_single = conf.reshape((b, l) + conf.shape[1:3] + (-1,))
+        if tm.shape[-2:] != psm_single.shape[2:4]:
+            # seg: the confidence proxy lives on the cropped seg grid —
+            # carry the modality-aware threshold map there too instead of
+            # silently dropping it
+            tm = jax.image.resize(
+                tm, tm.shape[:2] + psm_single.shape[2:4], "nearest"
+            )
         comm_mask, rate = self.communication(
-            psm_single, batch["agent_mask"], train=train,
-            thres_map=tm if tm.shape[-2:] == psm_single.shape[2:4] else None,
+            psm_single, batch["agent_mask"], train=train, thres_map=tm
         )
         if comm_mask.shape[-2:] != grouped.shape[2:4]:
             comm_mask = jax.image.resize(

@@ -114,6 +114,7 @@ def main():
             "points_mask": rep(batch["points_mask"]),
             "agent_mask": jnp.eye(l, dtype=bool) & batch["agent_mask"][0][None],
             "pairwise_t": jnp.broadcast_to(jnp.eye(4), (l, l, 4, 4)),
+            "pairwise_t_full": jnp.broadcast_to(jnp.eye(4), (l, l, l, 4, 4)),
             "prior_encoding": rep(batch["prior_encoding"]),
         }
         out = model.apply(

@@ -83,11 +83,17 @@ def main():
                     rng, layout, points_per_agent=1024, lidar_range=lidar_range
                 )
 
+    if len(opt.pos_std) != len(opt.rot_std):
+        raise SystemExit(
+            f"--pos_std and --rot_std sweeps must have equal length "
+            f"({len(opt.pos_std)} vs {len(opt.rot_std)})"
+        )
     rng = np.random.default_rng(opt.seed)
     for pos_std, rot_std in zip(opt.pos_std, opt.rot_std):
         out_dir = os.path.join(opt.output, f"pos{pos_std}_rot{rot_std}")
         os.makedirs(out_dir, exist_ok=True)
         residuals = []
+        idx = -1
         for idx, (batch, gt) in enumerate(sample_iter()):
             am = np.asarray(batch["agent_mask"], bool)
             L = am.shape[0]
@@ -116,9 +122,10 @@ def main():
                 agent_mask=am,
             )
             residuals.append(np.abs(refined[1:]).mean() if len(live) > 1 else 0.0)
+        mean_res = float(np.mean(residuals)) if residuals else float("nan")
         print(
             f"pos_std={pos_std} rot_std={rot_std}: {idx + 1} samples -> "
-            f"{out_dir} (mean residual pose error {np.mean(residuals):.4f})"
+            f"{out_dir} (mean residual pose error {mean_res:.4f})"
         )
 
 

@@ -265,6 +265,11 @@ def main():
             losses = []
             if train_loader is not None:
                 epoch_iter = train_loader.batches(epoch=epoch)
+                if opt.steps_per_epoch:
+                    # honor the override (it already sized the LR schedule)
+                    from itertools import islice
+
+                    epoch_iter = islice(epoch_iter, opt.steps_per_epoch)
             else:
                 epoch_iter = synthetic_batches(
                     hypes, layout, batch_size, steps_per_epoch,
