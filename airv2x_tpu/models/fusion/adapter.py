@@ -158,15 +158,18 @@ class AdapterConvNext(nn.Module):
             x = _resize_by(x, feat_ratio)
         dim = int(sub.get("dim", 64))
         x = nn.Conv(dim, (1, 1), dtype=self.dtype)(x)
-        for _ in range(int(sub.get("depth", 2))):
+        # reference configs name the block count num_of_blocks
+        # (airv2x_stamp_collab_lidar.yaml:242)
+        for _ in range(int(sub.get("depth", sub.get("num_of_blocks", 2)))):
             x = _ConvNeXtBlock(dim, dtype=self.dtype)(x)
         x = nn.Conv(self.args["out_channels"], (1, 1), dtype=self.dtype)(x)
         if late:
             x = _resize_by(x, feat_ratio)
-        x = nn.Conv(
-            self.args["out_channels"], (3, 3), padding="SAME", dtype=self.dtype
-        )(x)
-        return _crop_pad(x, pads)
+        # the reference constructs a smoothing conv and pad geometry but its
+        # AdapterConvNext.forward applies NEITHER (adapter.py:134-144 —
+        # unlike the FC/DSA variants); stay faithful
+        del pads
+        return x
 
 
 def _bilinear_sample_points(value, locs):

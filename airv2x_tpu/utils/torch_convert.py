@@ -734,6 +734,83 @@ def convert_airv2x_heal(sd: dict, variables: dict, hypes: dict) -> Assigner:
     return asg
 
 
+
+
+def convert_convnext_adapter(ts: TorchState, asg: Assigner, base: tuple,
+                             n_blocks: int):
+    """AdapterConvNext (fuse_modules/adapter.py:120-140 + the ConvNeXt
+    stack of feature_alignnet_modules.py:299-360)."""
+    convert_conv(ts, asg, base + ("Conv_0",), scope="channel_convert1")
+    for i in range(n_blocks):
+        blk = ts.sub(f"conv.model.{i}")
+        dst = base + (f"_ConvNeXtBlock_{i}",)
+        convert_conv(blk, asg, dst + ("Conv_0",), scope="dwconv")
+        convert_layernorm(blk, asg, dst + ("LayerNorm_0",), scope="norm")
+        convert_linear(blk, asg, dst + ("Dense_0",), scope="pwconv1")
+        convert_linear(blk, asg, dst + ("Dense_1",), scope="pwconv2")
+        asg.put("params", dst + ("gamma",), to_np(blk.get("gamma")))
+    convert_conv(ts, asg, base + ("Conv_1",), scope="channel_convert2")
+    # the smoothing conv is constructed upstream but never applied in
+    # AdapterConvNext.forward (adapter.py:132 vs :134-144) — dead params
+    for k in ("smoothing.weight", "smoothing.bias"):
+        if k in ts:
+            ts.get(k)
+
+
+def convert_airv2x_stamp(sd: dict, variables: dict, hypes: dict) -> Assigner:
+    """Airv2xSTAMP (models/airv2x_stamp.py) -> STAMP twin: HEAL trunk +
+    per-type adapters (identity / convnext supported)."""
+    args = dict(hypes["model"]["args"])
+    args.setdefault("preprocess", hypes.get("preprocess"))
+    ts = TorchState(strip_module_prefix(sd))
+    asg = Assigner(variables)
+
+    convert_hetero_encoder(ts, asg, args)
+    mod = args.get("modality_fusion") or args
+    bb = mod["base_bev_backbone"]
+    convert_resnet_backbone(
+        ts.sub("backbone"),
+        asg,
+        ("backbone",),
+        layer_nums=bb["layer_nums"],
+        upsample_strides=bb.get("upsample_strides", ()),
+        resnext=False,
+    )
+    convert_pyramid_fusion(
+        ts.sub("pyramid_backbone"), asg, ("pyramid",), args["fusion_backbone"]
+    )
+    type_map = {"vehicle": "adapter_vehicle", "rsu": "adapter_rsu",
+                "drone": "adapter_drone"}
+    for t, scope in type_map.items():
+        acfg = (args.get(t) or {}).get("adapter")
+        if not acfg or f"{scope}.adapter.channel_convert1.weight" not in ts:
+            # identity adapters carry no params; consume nothing
+            continue
+        aa = acfg.get("args", {})
+        n_blocks = int(
+            aa.get("submodule_args", {}).get(
+                "num_of_blocks", aa.get("submodule_args", {}).get("depth", 2)
+            )
+        )
+        convert_convnext_adapter(
+            ts.sub(f"{scope}.adapter"),
+            asg,
+            (f"adapter_{t}", "AdapterConvNext_0"),
+            n_blocks,
+        )
+    shrink = mod.get("shrink_header", {})
+    if shrink.get("use"):
+        convert_downsample_conv(
+            ts.sub("shrink_conv"), asg, ("shrink_conv",), n_layers=len(shrink["dim"])
+        )
+    if args["task"] == "det":
+        convert_det_heads(ts, asg)
+    else:
+        convert_seg_head(ts, asg)
+    asg.torch_leftovers = ts.leftovers()
+    return asg
+
+
 CONVERTERS: dict[str, Callable[[dict, dict, dict], Assigner]] = {
     "airv2x_where2comm": convert_airv2x_where2comm,
     "airv2x_where2com": convert_airv2x_where2comm,
@@ -742,6 +819,7 @@ CONVERTERS: dict[str, Callable[[dict, dict, dict], Assigner]] = {
     "airv2x_v2xvit": convert_airv2x_v2xvit,
     "airv2x_v2vnet": convert_airv2x_v2vnet,
     "airv2x_heal": convert_airv2x_heal,
+    "airv2x_stamp": convert_airv2x_stamp,
     "point_pillar_intermediate": convert_point_pillar_intermediate,
     "point_pillar": convert_point_pillar_intermediate,
     "point_pillar_early": convert_point_pillar_intermediate,

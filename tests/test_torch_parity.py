@@ -1126,3 +1126,46 @@ def test_heal_pyramid_parity(rng):
             nchw(o), o_ref.numpy(), atol=1e-3, rtol=1e-3,
             what=f"occ map {i}",
         )
+
+
+def test_stamp_convnext_adapter_parity(rng):
+    """Reference AdapterConvNext vs flax twin with converted weights
+    (identity geometry so only the conv/ConvNeXt math is exercised)."""
+    from opencood.models.fuse_modules.adapter import AdapterConvNext
+
+    from airv2x_tpu.models.fusion.adapter import (
+        AdapterConvNext as FlaxAdapter,
+    )
+
+    args = {
+        "in_channels": 32,
+        "out_channels": 32,
+        "in_cav_lidar_range": [-19.2, -19.2, -3, 19.2, 19.2, 1],
+        "out_cav_lidar_range": [-19.2, -19.2, -3, 19.2, 19.2, 1],
+        "in_feature_shape": [16, 16],
+        "out_feature_shape": [16, 16],
+        "submodule_args": {"num_of_blocks": 2, "dim": 32},
+    }
+    torch.manual_seed(101)
+    ref = AdapterConvNext(**args).eval()
+
+    x = rng.normal(size=(2, 16, 16, 32)).astype(np.float32)
+    with torch.no_grad():
+        out_ref = ref(torch.tensor(nchw(x))).numpy()
+
+    model = FlaxAdapter(args=args)
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x), train=False)
+    ts = tc.TorchState(ref.state_dict())
+    asg = tc.Assigner(variables)
+    tc.convert_convnext_adapter(ts, asg, (), 2)
+    assert not asg.skipped, asg.skipped
+    assert ts.leftovers() == [], ts.leftovers()
+    from flax.traverse_util import flatten_dict
+
+    n_leaves = sum(len(flatten_dict(variables[col])) for col in variables)
+    assert len(asg.assigned) == n_leaves
+
+    out = model.apply(asg.variables, jnp.asarray(x), train=False)
+    assert_close(
+        nchw(out), out_ref, atol=1e-3, rtol=1e-3, what="convnext adapter"
+    )
