@@ -147,9 +147,18 @@ class Airv2xSiCP(PostBackboneFusionModel):
     """Gated pairwise fusion with dual (single + coop) supervision."""
 
     def setup_fusion(self):
-        fcfg = self.args["sicp_fusion"]
+        # reference airv2x_sicp.py:61 reads args["fusion"] whose
+        # in_channels is already the DOUBLED concat width (512 = 2*256 in
+        # airv2x_intermediate_sicp.yaml:253-255); our sicp_fusion key keeps
+        # the per-branch width. Accept both conventions.
+        fcfg = self.args.get("sicp_fusion")
+        if fcfg is not None:
+            in_ch = int(fcfg["in_channels"]) * 2
+        else:
+            fcfg = self.args["fusion"]
+            in_ch = int(fcfg["in_channels"])
         self.fusion_net = SpatialFusion(
-            in_channels=int(fcfg["in_channels"]) * 2,
+            in_channels=in_ch,
             out_channels=int(fcfg["out_channels"]),
             dtype=self.dtype,
         )
@@ -160,8 +169,8 @@ class Airv2xSiCP(PostBackboneFusionModel):
             grouped,
             batch["agent_mask"],
             batch["pairwise_t_full"],
-            discrete_ratio=self._sicp_cfg["voxel_size"][0],
-            downsample_rate=self._sicp_cfg["downsample_rate"],
+            discrete_ratio=self._sicp_cfg.get("voxel_size", [0.4])[0],
+            downsample_rate=self._sicp_cfg.get("downsample_rate", 2),
             train=train,
         )
         return fused, jnp.asarray(1.0)

@@ -811,6 +811,34 @@ def convert_airv2x_stamp(sd: dict, variables: dict, hypes: dict) -> Assigner:
     return asg
 
 
+
+
+def convert_sicp_fusion(ts: TorchState, asg: Assigner, base: tuple):
+    """MultiSpatialFusion (sicpfuse_modules/multiagent_sicp_fuse.py:20-44):
+    compChannels1 / conv1 / conv2 / compChannels2, each Conv+BN."""
+    for i, scope in enumerate(
+        ("compChannels1", "conv1", "conv2", "compChannels2")
+    ):
+        blk = ts.sub(scope)
+        dst = base + (f"_ConvBN_{i}",)
+        convert_conv(blk, asg, dst + ("Conv_0",), scope="0")
+        convert_bn(blk, asg, dst + ("BatchNorm_0",), scope="1")
+
+
+def convert_airv2x_sicp(sd: dict, variables: dict, hypes: dict) -> Assigner:
+    """Airv2xSiCP (models/airv2x_sicp.py; trunk keys live at the args top
+    level like cobevt) -> SiCP twin."""
+    args = dict(hypes["model"]["args"])
+    args.setdefault("preprocess", hypes.get("preprocess"))
+    ts = TorchState(strip_module_prefix(sd))
+    asg = Assigner(variables)
+
+    _convert_airv2x_trunk(ts, asg, args)
+    convert_sicp_fusion(ts.sub("fusion_net"), asg, ("fusion_net",))
+    asg.torch_leftovers = ts.leftovers()
+    return asg
+
+
 CONVERTERS: dict[str, Callable[[dict, dict, dict], Assigner]] = {
     "airv2x_where2comm": convert_airv2x_where2comm,
     "airv2x_where2com": convert_airv2x_where2comm,
@@ -820,6 +848,7 @@ CONVERTERS: dict[str, Callable[[dict, dict, dict], Assigner]] = {
     "airv2x_v2vnet": convert_airv2x_v2vnet,
     "airv2x_heal": convert_airv2x_heal,
     "airv2x_stamp": convert_airv2x_stamp,
+    "airv2x_sicp": convert_airv2x_sicp,
     "point_pillar_intermediate": convert_point_pillar_intermediate,
     "point_pillar": convert_point_pillar_intermediate,
     "point_pillar_early": convert_point_pillar_intermediate,

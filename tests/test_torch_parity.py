@@ -1169,3 +1169,66 @@ def test_stamp_convnext_adapter_parity(rng):
     assert_close(
         nchw(out), out_ref, atol=1e-3, rtol=1e-3, what="convnext adapter"
     )
+
+
+def test_sicp_fusion_parity(rng):
+    """Reference MultiSpatialFusion vs SpatialFusion on identical features,
+    identity transforms, converted weights, 3 agents (multi-sender mean)."""
+    from opencood.models.sicpfuse_modules.multiagent_sicp_fuse import (
+        MultiSpatialFusion,
+    )
+
+    from airv2x_tpu.models.fusion.sicp import SpatialFusion
+
+    h, w, c = 16, 16, 32
+    torch.manual_seed(111)
+    ref = MultiSpatialFusion(in_channels=2 * c, out_channels=c).eval()
+    randomize_batchnorms(ref, rng)
+
+    l = 3
+    x = rng.normal(size=(1, l, h, w, c)).astype(np.float32)
+    # the reference's generate_*_selector call .cuda(); strip that on CPU
+    import opencood.models.sicpfuse_modules.multiagent_sicp_fuse as mod
+
+    orig_mean = mod.MultiSpatialFusion.generate_overlap_selector
+    orig_non = mod.MultiSpatialFusion.generate_nonoverlap_selector
+    mod.MultiSpatialFusion.generate_overlap_selector = (
+        lambda self, sel: torch.mean(sel, 1).unsqueeze(0)
+    )
+    import numpy as _np
+
+    mod.MultiSpatialFusion.generate_nonoverlap_selector = (
+        lambda self, ov: torch.tensor(_np.where(ov.cpu() > 0, 0, 1))
+    )
+    try:
+        with torch.no_grad():
+            out_ref = ref(
+                torch.tensor(x[0].transpose(0, 3, 1, 2)),
+                torch.tensor([l]),
+                torch.eye(4)[None, None, None, :2, [0, 1, 3]].repeat(
+                    1, l, l, 1, 1
+                ),
+            ).numpy()[0]
+    finally:
+        mod.MultiSpatialFusion.generate_overlap_selector = orig_mean
+        mod.MultiSpatialFusion.generate_nonoverlap_selector = orig_non
+
+    model = SpatialFusion(in_channels=2 * c, out_channels=c)
+    batch_args = (
+        jnp.asarray(x),
+        jnp.ones((1, l), bool),
+        jnp.broadcast_to(jnp.eye(4), (1, l, l, 4, 4)),
+    )
+    kw = dict(discrete_ratio=0.4, downsample_rate=2, train=False)
+    variables = model.init(jax.random.PRNGKey(0), *batch_args, **kw)
+    ts = tc.TorchState(ref.state_dict())
+    asg = tc.Assigner(variables)
+    tc.convert_sicp_fusion(ts, asg, ())
+    assert not asg.skipped, asg.skipped
+    assert ts.leftovers() == [], ts.leftovers()
+
+    out = model.apply(asg.variables, *batch_args, **kw)
+    assert_close(
+        np.asarray(out)[0].transpose(2, 0, 1), out_ref, atol=2e-3, rtol=2e-3,
+        what="sicp fused",
+    )
