@@ -649,16 +649,21 @@ def convert_airv2x_v2vnet(sd: dict, variables: dict, hypes: dict) -> Assigner:
 
 def convert_resnet_backbone(
     ts: TorchState, asg: Assigner, base: tuple, *, layer_nums,
-    upsample_strides=(), resnext: bool = False,
+    upsample_strides=(), resnext: bool = False, nested: bool = False,
 ):
     """ResNetBEVBackbone / PyramidFusion trunk (sub_modules/resblock.py,
-    base_bev_backbone_resnet.py): resnet.layer{i}.{j} blocks + deblocks."""
+    base_bev_backbone_resnet.py): resnet.layer{i}.{j} blocks + deblocks.
+
+    ``nested`` adds the extra 'resnet' level our PyramidFusion wraps the
+    backbone in (the plain flax ResNetBEVBackbone keeps stages at its top).
+    """
     block = "BottleneckX" if resnext else "BasicBlock"
     n_convs = 3 if resnext else 2
+    inner = ("resnet",) if nested else ()
     for i, n in enumerate(layer_nums):
         for j in range(n):
             blk = ts.sub(f"resnet.layer{i}.{j}")
-            dst = base + ("resnet", f"stages_{i}", f"{block}_{j}")
+            dst = base + inner + (f"stages_{i}", f"{block}_{j}")
             for k in range(n_convs):
                 convert_conv(blk, asg, dst + (f"Conv_{k}",), scope=f"conv{k + 1}")
                 convert_bn(
@@ -675,7 +680,7 @@ def convert_resnet_backbone(
         deb = ts.sub(f"deblocks.{i}")
         if f"deblocks.{i}.0.weight" not in ts:
             continue
-        dst = base + ("resnet", f"deblocks_{i}")
+        dst = base + inner + (f"deblocks_{i}",)
         if stride >= 1:
             convert_deconv(deb, asg, dst + ("ConvTranspose_0",), scope="0")
         else:
@@ -693,6 +698,7 @@ def convert_pyramid_fusion(ts: TorchState, asg: Assigner, base: tuple, cfg: dict
         layer_nums=cfg["layer_nums"],
         upsample_strides=cfg.get("upsample_strides", ()),
         resnext=bool(cfg.get("resnext")),
+        nested=True,
     )
     for i in range(len(cfg["layer_nums"])):
         if f"single_head_{i}.weight" in ts:

@@ -1232,3 +1232,78 @@ def test_sicp_fusion_parity(rng):
         np.asarray(out)[0].transpose(2, 0, 1), out_ref, atol=2e-3, rtol=2e-3,
         what="sicp fused",
     )
+
+
+def test_heal_e2e_parity(rng):
+    """Full Airv2xHEAL forward parity with converted weights: encoders ->
+    single-stage ResNet modality backbone -> pyramid forward_collab
+    (occupancy-weighted warp-fuse) -> shrink -> heads."""
+    from opencood.models.airv2x_heal import Airv2xHEAL
+
+    from airv2x_tpu.models import build_model
+
+    hypes = _parity_hypes()
+    hypes["model"]["core_method"] = "airv2x_heal"
+    args = hypes["model"]["args"]
+    del args["where2com_fusion"]
+    # reference heal layout: single-stage 64ch modality backbone, the
+    # pyramid carries the multiscale deblocks (airv2x_HEAL_collab_lidar.yaml)
+    args["modality_fusion"] = {
+        "base_bev_backbone": {
+            "layer_nums": [1],
+            "layer_strides": [2],
+            "num_filters": [64],
+            "upsample_strides": [],
+            "num_upsample_filter": [],
+        },
+        "shrink_header": {
+            "use": True,
+            "input_dim": 64,
+            "dim": [64],
+            "kernal_size": [3],
+            "stride": [1],
+            "padding": [1],
+        },
+        "compression": 0,
+    }
+    args["fusion_backbone"] = {
+        "resnext": True,
+        "layer_nums": [1, 1],
+        "layer_strides": [1, 2],
+        "num_filters": [32, 64],
+        "upsample_strides": [1, 2],
+        "num_upsample_filter": [32, 32],
+        "inplanes": 64,
+        "anchor_number": 2,
+        "align_corners": False,
+    }
+    args["in_head"] = 64
+
+    torch.manual_seed(121)
+    ref = Airv2xHEAL(dict(args)).eval()
+    randomize_batchnorms(ref, rng)
+
+    srng = np.random.default_rng(23)
+    data_dict, batch = _build_e2e_inputs(hypes, srng)
+    with torch.no_grad():
+        out_ref = ref(data_dict)
+
+    model = build_model(hypes)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "comm": jax.random.PRNGKey(1)},
+        batch,
+        train=False,
+    )
+    asg = tc.convert_state_dict(ref.state_dict(), variables, hypes)
+    assert not asg.skipped, asg.skipped
+    assert asg.torch_leftovers == [], asg.torch_leftovers
+
+    out = model.apply(asg.variables, batch, train=False)
+    assert_close(
+        nchw(out["psm"]), out_ref["psm"].numpy(), atol=2e-3, rtol=2e-3,
+        what="heal e2e psm",
+    )
+    assert_close(
+        nchw(out["rm"]), out_ref["rm"].numpy(), atol=2e-3, rtol=2e-3,
+        what="heal e2e rm",
+    )
