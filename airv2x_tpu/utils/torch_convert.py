@@ -26,7 +26,13 @@ what our decode (data/postprocess.py) uses; detection scores/boxes are
 unaffected either way (tests/test_reference_golden.py
 ::test_postprocess_pipeline_parity).
 
-Structure mapping is per model family; see ``CONVERTERS``. Every converter
+Structure mapping is per model family; see ``CONVERTERS``. BM2CP has no
+converter by design: the reference's LidarCamBM2CPEncoder voxel pipeline
+(bm2cp_modules/sensor_blocks.py) was re-designed here as the shared hetero
+encoder + a BEV-analog modal interaction (models/bm2cp_model.py docstring),
+so there is no weight-for-weight correspondence to map.
+
+Structure mapping details: Every converter
 works on a ``TorchState`` scope (tracks consumed keys so leftovers are
 reported) and an ``Assigner`` over the flax variables.
 """

@@ -375,3 +375,42 @@ def test_postprocess_pipeline_parity(ref_postprocessor, rng):
         assert abs(
             calculate_ap(my_stat, t) - calculate_ap(ref_stat, t)
         ) < 1e-9, f"AP diverges @{t}"
+
+
+def test_pose_math_golden(rng):
+    """x_to_world / x1_to_x2 (reference pure-numpy pose math, the frame
+    conversion every dataset path relies on) vs utils.transforms."""
+    from opencood.utils.transformation_utils import x1_to_x2, x_to_world
+
+    from airv2x_tpu.utils import transforms as tf
+
+    for seed in range(5):
+        srng = np.random.default_rng(300 + seed)
+        p1 = [
+            *srng.uniform(-50, 50, 3),
+            *srng.uniform(-180, 180, 3),  # roll, yaw, pitch (degrees)
+        ]
+        p2 = [*srng.uniform(-50, 50, 3), *srng.uniform(-180, 180, 3)]
+        np.testing.assert_allclose(
+            tf.pose_to_world(p1), x_to_world(p1), atol=1e-9,
+            err_msg=f"x_to_world diverges (seed {seed})",
+        )
+        np.testing.assert_allclose(
+            tf.pose_a_to_b(p1, p2), x1_to_x2(p1, p2), atol=1e-9,
+            err_msg=f"x1_to_x2 diverges (seed {seed})",
+        )
+
+
+def test_box_corner_golden(rng):
+    """boxes_to_corners_3d (reference torch, hwl order) vs ops.geometry."""
+    from opencood.utils import box_utils
+
+    from airv2x_tpu.ops import geometry as geo
+
+    lr = ANCHOR_PARAMS["anchor_args"]["cav_lidar_range"]
+    boxes = _random_boxes(np.random.default_rng(400), 12, lr)
+    ref = box_utils.boxes_to_corners_3d(boxes, order="hwl")
+    if hasattr(ref, "numpy"):
+        ref = ref.numpy()
+    mine = np.asarray(geo.boxes_to_corners_3d(jnp.asarray(boxes), order="hwl"))
+    np.testing.assert_allclose(mine, ref, atol=1e-4)
