@@ -280,19 +280,46 @@ class PointPillarWhen2com(PointPillarBase):
         return fused, jnp.asarray(1.0)
 
 
+class PixelWeightLayer(nn.Module):
+    """point_pillar_disconet.py:176-199: cat(neighbor, ego) -> 1x1 conv
+    stack 2C->128->32->8->1 (BN+ReLU between, final ReLU, no final BN)."""
+
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        from airv2x_tpu.models.nn import BN_EPS, BN_MOMENTUM
+
+        def bn(y):
+            return nn.BatchNorm(
+                use_running_average=not train, momentum=BN_MOMENTUM,
+                epsilon=BN_EPS, dtype=self.dtype,
+            )(y)
+
+        x = nn.relu(bn(nn.Conv(128, (1, 1), dtype=self.dtype)(x)))
+        x = nn.relu(bn(nn.Conv(32, (1, 1), dtype=self.dtype)(x)))
+        x = nn.relu(bn(nn.Conv(8, (1, 1), dtype=self.dtype)(x)))
+        return nn.relu(nn.Conv(1, (1, 1), dtype=self.dtype)(x))
+
+
 @register_model("point_pillar_disconet")
 class PointPillarDiscoNet(PointPillarBase):
     """DiscoNet student (models/point_pillar_disconet.py): pixel-weighted
-    agent fusion; the frozen teacher (early-fusion point_pillar) supervises
-    features via loss.variants.make_disconet_loss."""
+    agent fusion via the faithful PixelWeightLayer on cat(neighbor, ego);
+    the frozen teacher (early-fusion point_pillar) supervises features via
+    loss.variants.make_disconet_loss."""
 
     def setup_fusion(self):
-        self.weight_net = nn.Conv(1, (1, 1), dtype=self.dtype, name="pixel_weight")
+        self.weight_net = PixelWeightLayer(dtype=self.dtype, name="pixel_weight")
 
     def fuse(self, grouped, batch, train):
         b, l = grouped.shape[:2]
-        flat = grouped.reshape((b * l,) + grouped.shape[2:])
-        logits = self.weight_net(flat).reshape(b, l, *grouped.shape[2:4], 1)
+        ego_rep = jnp.broadcast_to(grouped[:, :1], grouped.shape)
+        cat = jnp.concatenate([grouped, ego_rep], axis=-1)
+        flat = cat.reshape((b * l,) + cat.shape[2:])
+        logits = self.weight_net(flat, train).reshape(
+            b, l, *grouped.shape[2:4], 1
+        )
         mask = batch["agent_mask"][:, :, None, None, None]
         logits = jnp.where(mask, logits, -1e9)
         w = jnp.exp(logits - jnp.max(logits, axis=1, keepdims=True))

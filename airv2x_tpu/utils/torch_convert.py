@@ -451,6 +451,18 @@ def convert_point_pillar_intermediate(sd: dict, variables: dict, hypes: dict):
     if int(args.get("compression", 0)) > 0:
         convert_naive_compressor(ts.sub("naive_compressor"), asg, ("compressor",))
     convert_det_heads(ts, asg)
+    # disconet pixel weight stack (point_pillar_disconet.py:176-199)
+    if "pixel_weight_layer.conv1_1.weight" in ts:
+        pw = ts.sub("pixel_weight_layer")
+        for i in range(1, 4):
+            convert_conv(
+                pw, asg, ("pixel_weight", f"Conv_{i - 1}"), scope=f"conv1_{i}"
+            )
+            convert_bn(
+                pw, asg, ("pixel_weight", f"BatchNorm_{i - 1}"),
+                scope=f"bn1_{i}",
+            )
+        convert_conv(pw, asg, ("pixel_weight", "Conv_3"), scope="conv1_4")
     # param-less / frozen fusion blocks (gaussian comm filter etc.)
     for scope in ("fusion_net", "naive_communication"):
         for k in list(ts.sub(scope).keys()):
@@ -866,6 +878,8 @@ CONVERTERS: dict[str, Callable[[dict, dict, dict], Assigner]] = {
     "point_pillar_early": convert_point_pillar_intermediate,
     "point_pillar_max": convert_point_pillar_intermediate,
     "point_pillar_where2comm": convert_point_pillar_intermediate,
+    "point_pillar_coalign": convert_point_pillar_intermediate,
+    "point_pillar_disconet": convert_point_pillar_intermediate,
     "airv2x_early": convert_point_pillar_intermediate,
 }
 

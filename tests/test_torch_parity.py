@@ -1307,3 +1307,63 @@ def test_heal_e2e_parity(rng):
         nchw(out["rm"]), out_ref["rm"].numpy(), atol=2e-3, rtol=2e-3,
         what="heal e2e rm",
     )
+
+
+def test_disconet_pixel_weight_parity():
+    """PixelWeightLayer (point_pillar_disconet.py:176-199) conversion."""
+    import torch
+    import torch.nn as tnn
+
+    from airv2x_tpu.models.point_pillar_models import PixelWeightLayer
+
+    c2 = 32  # 2C for C=16
+
+    class TorchPWL(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            self.conv1_1 = tnn.Conv2d(c2, 128, 1)
+            self.bn1_1 = tnn.BatchNorm2d(128)
+            self.conv1_2 = tnn.Conv2d(128, 32, 1)
+            self.bn1_2 = tnn.BatchNorm2d(32)
+            self.conv1_3 = tnn.Conv2d(32, 8, 1)
+            self.bn1_3 = tnn.BatchNorm2d(8)
+            self.conv1_4 = tnn.Conv2d(8, 1, 1)
+
+        def forward(self, x):
+            import torch.nn.functional as F
+
+            x = F.relu(self.bn1_1(self.conv1_1(x)))
+            x = F.relu(self.bn1_2(self.conv1_2(x)))
+            x = F.relu(self.bn1_3(self.conv1_3(x)))
+            return F.relu(self.conv1_4(x))
+
+    tm = TorchPWL().eval()
+    # non-trivial running stats
+    with torch.no_grad():
+        for bn in (tm.bn1_1, tm.bn1_2, tm.bn1_3):
+            bn.running_mean.normal_(0, 0.3)
+            bn.running_var.uniform_(0.5, 2.0)
+
+    x = np.random.default_rng(7).normal(size=(2, 12, 10, c2)).astype(np.float32)
+    with torch.no_grad():
+        want = (
+            tm(torch.from_numpy(x).permute(0, 3, 1, 2))
+            .permute(0, 2, 3, 1)
+            .numpy()
+        )
+
+    model = PixelWeightLayer()
+    variables = model.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    ts = tc.TorchState(
+        {f"pixel_weight_layer.{k}": v for k, v in tm.state_dict().items()}
+    )
+    asg = tc.Assigner(jax.tree_util.tree_map(np.asarray, dict(variables)))
+    pw = ts.sub("pixel_weight_layer")
+    for i in range(1, 4):
+        tc.convert_conv(pw, asg, (f"Conv_{i - 1}",), scope=f"conv1_{i}")
+        tc.convert_bn(pw, asg, (f"BatchNorm_{i - 1}",), scope=f"bn1_{i}")
+    tc.convert_conv(pw, asg, ("Conv_3",), scope="conv1_4")
+    assert not ts.leftovers(), ts.leftovers()
+
+    got = np.asarray(model.apply(asg.variables, jnp.asarray(x)))
+    assert_close(got, want, what="disconet pixel weight layer")
