@@ -33,3 +33,25 @@ class PointPillarEarly(PointPillarBase):
 
     def fuse(self, grouped, batch, train):
         return grouped[:, 0], jnp.asarray(0.0)
+
+@register_model("point_pillar_disconet_teacher")
+class PointPillarDiscoNetTeacher(PointPillarEarly):
+    """Frozen early-fusion KD teacher (point_pillar_disconet_teacher.py:
+    14-57): PointPillars on the merged ego-frame cloud, emitting the
+    pre-head BEV map as ``teacher_feature`` plus teacher psm/rm."""
+
+    def __call__(self, batch, train: bool = False):
+        x = self.encode(batch, train)
+        b, l = x.shape[:2]
+        flat = x.reshape((b * l,) + x.shape[2:])
+        feats, _ = self.backbone(flat, train)
+        if self.shrink_flag:
+            feats = self.shrink_conv(feats, train)
+        if self.compression:
+            feats = self.compressor(feats, train)
+        fused = feats.reshape((b, l) + feats.shape[1:])[:, 0]
+        return {
+            "teacher_feature": fused,
+            "teacher_psm": self.cls_head(fused),
+            "teacher_rm": self.reg_head(fused),
+        }

@@ -78,14 +78,29 @@ class PointPillarBase(nn.Module):
                 dtype=self.dtype,
             )
         bb = args["base_bev_backbone"]
-        self.backbone = BaseBEVBackbone(
-            layer_nums=bb["layer_nums"],
-            layer_strides=bb["layer_strides"],
-            num_filters=bb["num_filters"],
-            upsample_strides=bb["upsample_strides"],
-            num_upsample_filters=bb["num_upsample_filter"],
-            dtype=self.dtype,
-        )
+        if bb.get("resnet"):
+            # point_pillar_baseline_multiscale.py:40-48 defaults to the
+            # ResNet BEV backbone behind ``base_bev_backbone.resnet``
+            from airv2x_tpu.models.resnet_bev import ResNetBEVBackbone
+
+            self.backbone = ResNetBEVBackbone(
+                layer_nums=bb["layer_nums"],
+                layer_strides=bb["layer_strides"],
+                num_filters=bb["num_filters"],
+                upsample_strides=bb["upsample_strides"],
+                num_upsample_filters=bb["num_upsample_filter"],
+                inplanes=int(bb.get("inplanes", pv["num_filters"][-1])),
+                dtype=self.dtype,
+            )
+        else:
+            self.backbone = BaseBEVBackbone(
+                layer_nums=bb["layer_nums"],
+                layer_strides=bb["layer_strides"],
+                num_filters=bb["num_filters"],
+                upsample_strides=bb["upsample_strides"],
+                num_upsample_filters=bb["num_upsample_filter"],
+                dtype=self.dtype,
+            )
         shrink = args.get("shrink_header", {})
         self.shrink_flag = bool(shrink.get("use"))
         if self.shrink_flag:
@@ -99,7 +114,7 @@ class PointPillarBase(nn.Module):
         self.compression = int(args.get("compression", 0)) > 0
         if self.compression:
             self.compressor = NaiveCompressor(
-                256, args["compression"], dtype=self.dtype
+                self._compressor_width(), args["compression"], dtype=self.dtype
             )
         # binary family by default (OPV2V); ``num_class > 1`` switches to
         # the AirV2X multiclass head layout (A*C psm + objectness)
@@ -122,6 +137,11 @@ class PointPillarBase(nn.Module):
 
     def setup_fusion(self):
         pass
+
+    def _compressor_width(self):
+        """Channel width the NaiveCompressor restores to (reference default
+        256 = post-backbone features; multiscale baseline overrides)."""
+        return 256
 
     def encode(self, batch, train):
         pre = self.pre
@@ -326,3 +346,140 @@ class PointPillarDiscoNet(PointPillarBase):
         w = w * mask.astype(w.dtype)
         w = w / jnp.maximum(jnp.sum(w, axis=1, keepdims=True), 1e-9)
         return jnp.sum(grouped * w, axis=1), jnp.asarray(1.0)
+
+    def __call__(self, batch, train: bool = False):
+        x = self.encode(batch, train)
+        b, l = x.shape[:2]
+        flat = x.reshape((b * l,) + x.shape[2:])
+        feats, _ = self.backbone(flat, train)
+        if self.shrink_flag:
+            feats = self.shrink_conv(feats, train)
+        if self.compression:
+            feats = self.compressor(feats, train)
+        grouped = feats.reshape((b, l) + feats.shape[1:])
+        fused, rate = self.fuse(grouped, batch, train)
+        return {
+            "psm": self.cls_head(fused),
+            "rm": self.reg_head(fused),
+            "comm_rate": rate,
+            # fused BEV map for KD feature imitation against the frozen
+            # early-fusion teacher (loss/point_pillar_disconet_loss.py)
+            "student_feature": fused,
+        }
+
+
+@register_model("point_pillar_sicp")
+class PointPillarSiCP(PointPillarBase):
+    """Flat SiCP (models/point_pillar_sicp.py:29-158): trunk -> SpatialFusion
+    pairwise gated fusion; training emits both the ego-solo (psm1/rm1) and
+    cooperative (psm2/rm2) head outputs for the SiCP dual loss, eval emits
+    the fused heads."""
+
+    def setup_fusion(self):
+        from airv2x_tpu.models.fusion.sicp import SpatialFusion
+
+        fcfg = self.args["fusion"]
+        self.fusion_net = SpatialFusion(
+            in_channels=int(fcfg["in_channels"]),
+            out_channels=int(fcfg["out_channels"]),
+            dtype=self.dtype,
+        )
+        self._sicp_cfg = dict(fcfg)
+
+    def fuse(self, grouped, batch, train):
+        vs = self._sicp_cfg.get("voxel_size") or self.pre["args"]["voxel_size"]
+        fused = self.fusion_net(
+            grouped,
+            batch["agent_mask"],
+            batch["pairwise_t_full"],
+            discrete_ratio=vs[0],
+            downsample_rate=self._sicp_cfg.get("downsample_rate", 2),
+            train=train,
+        )
+        return fused, jnp.asarray(1.0)
+
+    def __call__(self, batch, train: bool = False):
+        x = self.encode(batch, train)
+        b, l = x.shape[:2]
+        flat = x.reshape((b * l,) + x.shape[2:])
+        feats, _ = self.backbone(flat, train)
+        if self.shrink_flag:
+            feats = self.shrink_conv(feats, train)
+        if self.compression:
+            feats = self.compressor(feats, train)
+        grouped = feats.reshape((b, l) + feats.shape[1:])
+        fused, rate = self.fuse(grouped, batch, train)
+        out = {
+            "psm": self.cls_head(fused),
+            "rm": self.reg_head(fused),
+            "comm_rate": rate,
+        }
+        if train:
+            # dual-loss branch (point_pillar_sicp.py:135-144): solo ego
+            # and cooperative predictions through the SHARED heads
+            ego = grouped[:, 0]
+            out["psm1"], out["rm1"] = self.cls_head(ego), self.reg_head(ego)
+            out["psm2"], out["rm2"] = out["psm"], out["rm"]
+        return out
+
+
+@register_model("point_pillar_baseline_multiscale")
+class PointPillarBaselineMultiscale(PointPillarBase):
+    """Multiscale single-fusion baseline
+    (models/point_pillar_baseline_multiscale.py:26-170): per-backbone-scale
+    max or attention fusion across agents, fused pyramid decoded through the
+    deblocks; ``base_bev_backbone.resnet`` (default true upstream) selects
+    the ResNet BEV backbone. Comm rate is the summed nonzero count of the
+    shared per-scale features (reference :146-149)."""
+
+    def setup_fusion(self):
+        self.fusion_method = self.args.get("fusion_method", "max")
+
+    def _compressor_width(self):
+        # reference compresses the 64ch scatter canvas BEFORE the backbone
+        # (:140-141, NaiveCompressor(64, ...)); __call__ applies it there
+        return int(self.args["pillar_vfe"]["num_filters"][-1])
+
+    def _fuse_scale(self, feat, b, l, agent_mask):
+        g = feat.reshape((b, l) + feat.shape[1:])
+        if self.fusion_method == "att":
+            return ego_agent_attention(g, agent_mask)
+        return max_fusion(g, agent_mask)
+
+    def __call__(self, batch, train: bool = False):
+        from airv2x_tpu.models.resnet_bev import ResNetBEVBackbone
+
+        x = self.encode(batch, train)
+        b, l = x.shape[:2]
+        flat = x.reshape((b * l,) + x.shape[2:])
+        if self.compression:
+            flat = self.compressor(flat, train)
+
+        if isinstance(self.backbone, ResNetBEVBackbone):
+            ms = self.backbone.get_multiscale_feature(flat, train)
+        else:
+            ms, h = [], flat
+            for i in range(len(self.backbone.layer_nums)):
+                h = self.backbone.stage(i, h, train)
+                ms.append(h)
+        rate = sum(
+            jnp.sum((f != 0).astype(jnp.float32)) for f in ms
+        )
+        fused_ms = [
+            self._fuse_scale(f, b, l, batch["agent_mask"]) for f in ms
+        ]
+        if isinstance(self.backbone, ResNetBEVBackbone):
+            fused = self.backbone.decode_multiscale(fused_ms, train)
+        else:
+            ups = [
+                self.backbone.deblock(i, f, train)
+                for i, f in enumerate(fused_ms)
+            ]
+            fused = self.backbone.finish(ups, train)
+        if self.shrink_flag:
+            fused = self.shrink_conv(fused, train)
+        return {
+            "psm": self.cls_head(fused),
+            "rm": self.reg_head(fused),
+            "comm_rate": rate,
+        }

@@ -395,3 +395,95 @@ class PointPillarLRFMDD(PointPillarL4DR):
             "diff_loss": diff_loss,
             "comm_rate": jnp.asarray(1.0),
         }
+
+
+# --------------------------------------------------------------------------
+# V2X-R lidar + 4D-radar concat ("_lrf") collaboration variants
+# --------------------------------------------------------------------------
+
+
+def _make_lrf(base_cls, names, ref_file):
+    """Concat-LRF twin factory (point_pillar_v2xvit_lrf.py:20-115 pattern,
+    shared by the cobevt/where2comm/coalign/scope/sicp _lrf files): separate
+    lidar and radar PillarVFEs on the shared grid, channel concat of the two
+    BEV canvases (backbone input = 2 x num_filters[-1]), then the named
+    collaboration fusion unchanged."""
+
+    @register_model(*names)
+    class _LRF(base_cls):
+        def setup_fusion(self):
+            pv = self.args["pillar_vfe"]
+            pre = self.pre
+            if self.fast_pillars:
+                from airv2x_tpu.ops.fast_pillars import FastPillarBEV
+
+                self.radar_vfe = FastPillarBEV(
+                    num_filters=pv["num_filters"],
+                    voxel_size=pre["args"]["voxel_size"],
+                    lidar_range=pre["cav_lidar_range"],
+                    use_norm=pv["use_norm"],
+                    with_distance=pv["with_distance"],
+                    use_absolute_xyz=pv["use_absolute_xyz"],
+                    dtype=self.dtype,
+                )
+            else:
+                self.radar_vfe = PillarVFE(
+                    num_filters=pv["num_filters"],
+                    voxel_size=pre["args"]["voxel_size"],
+                    lidar_range=pre["cav_lidar_range"],
+                    use_norm=pv["use_norm"],
+                    with_distance=pv["with_distance"],
+                    use_absolute_xyz=pv["use_absolute_xyz"],
+                    dtype=self.dtype,
+                )
+            super().setup_fusion()
+
+        def encode(self, batch, train):
+            lidar = PointPillarL4DR._encode_cloud(
+                self, batch["points"], batch["points_mask"], self.vfe, train
+            )
+            radar = PointPillarL4DR._encode_cloud(
+                self,
+                batch["radar_points"],
+                batch["radar_points_mask"],
+                self.radar_vfe,
+                train,
+            )
+            fused = jnp.concatenate([lidar, radar], axis=-1)
+            am = batch["agent_mask"][:, :, None, None, None]
+            return fused * am.astype(fused.dtype)
+
+    _LRF.__name__ = base_cls.__name__ + "LRF"
+    _LRF.__qualname__ = _LRF.__name__
+    _LRF.__doc__ = (
+        f"LiDAR+4D-radar concat variant of {base_cls.__name__} "
+        f"(reference {ref_file})."
+    )
+    return _LRF
+
+
+def _install_lrf_variants():
+    from airv2x_tpu.models.coalign_model import PointPillarCoAlign
+    from airv2x_tpu.models.point_pillar_models import (
+        PointPillarCoBEVT,
+        PointPillarSiCP,
+        PointPillarV2XViT,
+        PointPillarWhere2comm,
+    )
+    from airv2x_tpu.models.temporal_models import PointPillarScope
+
+    _make_lrf(PointPillarV2XViT, ("point_pillar_v2xvit_lrf",),
+              "point_pillar_v2xvit_lrf.py")
+    _make_lrf(PointPillarCoBEVT, ("point_pillar_cobevt_lrf",),
+              "point_pillar_cobevt_lrf.py")
+    _make_lrf(PointPillarWhere2comm, ("point_pillar_where2comm_lrf",),
+              "point_pillar_where2comm_lrf.py")
+    _make_lrf(PointPillarCoAlign, ("point_pillar_coalign_lrf",),
+              "point_pillar_coalign_lrf.py")
+    _make_lrf(PointPillarScope, ("point_pillar_scope_lrf",),
+              "point_pillar_scope_lrf.py")
+    _make_lrf(PointPillarSiCP, ("point_pillar_sicp_lrf",),
+              "point_pillar_sicp_lrf.py")
+
+
+_install_lrf_variants()

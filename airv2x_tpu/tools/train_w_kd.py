@@ -101,8 +101,15 @@ def main():
                 {"params": t_params, "batch_stats": t_stats}, batch, train=False
             )
             s_out = dict(s_out)
-            s_out["student_feature"] = s_out["psm"]
-            s_out["teacher_feature"] = jax.lax.stop_gradient(t_out["psm"])
+            # real DiscoNet KD imitates the fused BEV feature map when the
+            # teacher exposes it (point_pillar_disconet_teacher); fall back
+            # to psm-level distillation otherwise
+            s_out.setdefault("student_feature", s_out["psm"])
+            t_feat = t_out.get("teacher_feature", t_out.get("psm"))
+            if t_feat.shape[-1] != s_out["student_feature"].shape[-1]:
+                t_feat = t_out.get("teacher_psm", t_out.get("psm"))
+                s_out["student_feature"] = s_out["psm"]
+            s_out["teacher_feature"] = jax.lax.stop_gradient(t_feat)
             total, parts = loss_fn(s_out, batch["labels"])
             return total, (parts, updates["batch_stats"])
 
