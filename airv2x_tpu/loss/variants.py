@@ -15,7 +15,15 @@ from airv2x_tpu.loss.registry import register_loss
 
 @register_loss("point_pillar_loss_sicp_multiclass", "point_pillar_loss_sicp")
 def make_sicp_loss(args: dict):
-    base = make_multiclass_loss(args)
+    # the flat OPV2V/V2X-R family uses the binary loss on both branches
+    # (loss/point_pillar_loss_sicp.py); AirV2X configs carry num_class and
+    # get the multiclass twin (loss/point_pillar_loss_sicp_multiclass.py)
+    if "num_class" in args:
+        base = make_multiclass_loss(args)
+    else:
+        from airv2x_tpu.loss.point_pillar_binary import make_binary_loss
+
+        base = make_binary_loss(args)
 
     def loss_fn(output: dict, target: dict, prefix: str = ""):
         if "psm1" in output:

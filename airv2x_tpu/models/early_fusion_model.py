@@ -50,8 +50,14 @@ class PointPillarDiscoNetTeacher(PointPillarEarly):
         if self.compression:
             feats = self.compressor(feats, train)
         fused = feats.reshape((b, l) + feats.shape[1:])[:, 0]
+        psm, rm = self.cls_head(fused), self.reg_head(fused)
+        # psm/rm aliases keep the generic train/inference tools usable on
+        # the teacher checkpoint itself
         return {
             "teacher_feature": fused,
-            "teacher_psm": self.cls_head(fused),
-            "teacher_rm": self.reg_head(fused),
+            "teacher_psm": psm,
+            "teacher_rm": rm,
+            "psm": psm,
+            "rm": rm,
+            "comm_rate": jnp.asarray(0.0),
         }

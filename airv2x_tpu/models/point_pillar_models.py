@@ -378,7 +378,15 @@ class PointPillarSiCP(PointPillarBase):
     def setup_fusion(self):
         from airv2x_tpu.models.fusion.sicp import SpatialFusion
 
-        fcfg = self.args["fusion"]
+        # reference configs put in_channels/out_channels at args TOP level
+        # with in_channels pre-doubled (V2X-R/LiDAR/V2XR_sicp.yaml: 512 =
+        # 2 x 256); a nested ``fusion`` dict is accepted too
+        fcfg = self.args.get("fusion") or {
+            k: self.args[k]
+            for k in ("in_channels", "out_channels", "voxel_size",
+                      "downsample_rate")
+            if k in self.args
+        }
         self.fusion_net = SpatialFusion(
             in_channels=int(fcfg["in_channels"]),
             out_channels=int(fcfg["out_channels"]),

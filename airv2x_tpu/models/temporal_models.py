@@ -68,6 +68,10 @@ class _TemporalBase(PointPillarBase):
                 "points_mask": batch["points_mask"][:, i],
                 "agent_mask": batch["agent_mask"][:, i],
             }
+            # the _lrf concat variants carry a per-frame radar cloud too
+            if "radar_points" in batch:
+                fb["radar_points"] = batch["radar_points"][:, i]
+                fb["radar_points_mask"] = batch["radar_points_mask"][:, i]
             x = self.encode(fb, train)
             flat = x.reshape((b * l,) + x.shape[2:])
             feats, _ = self.backbone(flat, train)

@@ -66,7 +66,10 @@ def _build_batch(hypes, layout):
 
     if any(k in core for k in ("scope", "how2comm")):  # K-frame stacks
         t_frames = 2
-        for key in ("points", "points_mask", "agent_mask"):
+        frame_keys = ["points", "points_mask", "agent_mask"]
+        if needs_radar:
+            frame_keys += ["radar_points", "radar_points_mask"]
+        for key in frame_keys:
             batch[key] = np.stack([batch[key][0]] * t_frames)[None]
         batch["history_t"] = np.broadcast_to(
             np.eye(4, dtype=np.float32), (1, t_frames, 4, 4)

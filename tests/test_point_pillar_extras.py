@@ -78,7 +78,7 @@ def test_disconet_teacher_outputs():
     hypes = _hypes("point_pillar_disconet_teacher")
     rng = np.random.default_rng(2)
     out = _init_and_apply(hypes, _batch(rng))
-    assert set(out) == {"teacher_feature", "teacher_psm", "teacher_rm"}
+    assert {"teacher_feature", "teacher_psm", "teacher_rm"} <= set(out)
     assert out["teacher_feature"].shape == (1, 32, 32, 32)  # post-shrink
     assert out["teacher_psm"].shape == (1, 32, 32, 2)
 
