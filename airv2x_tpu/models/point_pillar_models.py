@@ -102,7 +102,11 @@ class PointPillarBase(nn.Module):
                 dtype=self.dtype,
             )
         shrink = args.get("shrink_header", {})
-        self.shrink_flag = bool(shrink.get("use"))
+        # reference flat configs have no 'use' key — the presence of the
+        # shrink_header block enables it (point_pillar_sicp.py:53-56)
+        self.shrink_flag = bool(
+            shrink.get("use", bool(shrink.get("dim")))
+        )
         if self.shrink_flag:
             self.shrink_conv = DownsampleConv(
                 dims=shrink["dim"],
@@ -207,12 +211,68 @@ class PointPillar(PointPillarBase):
     """Single-agent (no-fusion) baseline (models/point_pillar.py)."""
 
 
-@register_model("point_pillar_intermediate", "point_pillar_attfusion")
-class PointPillarIntermediate(PointPillarBase):
-    """AttFusion intermediate baseline (models/point_pillar_intermediate.py)."""
+class _PerStageFusionBase(PointPillarBase):
+    """Per-backbone-stage agent fusion (common_modules/att_bev_backbone.py:
+    492-523 AttBEVBackbone.forward): each stage's UNFUSED features feed the
+    next stage, while a param-free cross-agent fusion of that stage feeds
+    its deblock; the fused pyramid is concatenated. The same structure
+    serves point_pillar_baseline_multiscale.py:144-160."""
 
-    def fuse(self, grouped, batch, train):
-        return ego_agent_attention(grouped, batch["agent_mask"]), jnp.asarray(1.0)
+    def _stage_fusion_method(self) -> str:
+        return "att"
+
+    def _fuse_scale(self, feat, b, l, agent_mask):
+        g = feat.reshape((b, l) + feat.shape[1:])
+        if self._stage_fusion_method() == "att":
+            return ego_agent_attention(g, agent_mask)
+        return max_fusion(g, agent_mask)
+
+    def __call__(self, batch, train: bool = False):
+        from airv2x_tpu.models.resnet_bev import ResNetBEVBackbone
+
+        x = self.encode(batch, train)
+        b, l = x.shape[:2]
+        flat = x.reshape((b * l,) + x.shape[2:])
+        if self.compression:
+            flat = self.compressor(flat, train)
+
+        if isinstance(self.backbone, ResNetBEVBackbone):
+            ms = self.backbone.get_multiscale_feature(flat, train)
+        else:
+            ms, h = [], flat
+            for i in range(len(self.backbone.layer_nums)):
+                h = self.backbone.stage(i, h, train)
+                ms.append(h)
+        rate = sum(jnp.sum((f != 0).astype(jnp.float32)) for f in ms)
+        fused_ms = [
+            self._fuse_scale(f, b, l, batch["agent_mask"]) for f in ms
+        ]
+        if isinstance(self.backbone, ResNetBEVBackbone):
+            fused = self.backbone.decode_multiscale(fused_ms, train)
+        else:
+            ups = [
+                self.backbone.deblock(i, f, train)
+                for i, f in enumerate(fused_ms)
+            ]
+            fused = self.backbone.finish(ups, train)
+        if self.shrink_flag:
+            fused = self.shrink_conv(fused, train)
+        return {
+            "psm": self.cls_head(fused),
+            "rm": self.reg_head(fused),
+            "comm_rate": rate,
+        }
+
+
+@register_model("point_pillar_intermediate", "point_pillar_attfusion")
+class PointPillarIntermediate(_PerStageFusionBase):
+    """AttFusion intermediate baseline (models/point_pillar_intermediate.py
+    :34 builds AttBEVBackbone: per-stage param-free scaled-dot attention
+    across agents, self_attn.py:46-61)."""
+
+    def _compressor_width(self):
+        # AttBEVBackbone's optional compression sits on the scatter canvas
+        return int(self.args["pillar_vfe"]["num_filters"][-1])
 
 
 @register_model("point_pillar_max")
@@ -432,7 +492,7 @@ class PointPillarSiCP(PointPillarBase):
 
 
 @register_model("point_pillar_baseline_multiscale")
-class PointPillarBaselineMultiscale(PointPillarBase):
+class PointPillarBaselineMultiscale(_PerStageFusionBase):
     """Multiscale single-fusion baseline
     (models/point_pillar_baseline_multiscale.py:26-170): per-backbone-scale
     max or attention fusion across agents, fused pyramid decoded through the
@@ -440,54 +500,10 @@ class PointPillarBaselineMultiscale(PointPillarBase):
     the ResNet BEV backbone. Comm rate is the summed nonzero count of the
     shared per-scale features (reference :146-149)."""
 
-    def setup_fusion(self):
-        self.fusion_method = self.args.get("fusion_method", "max")
+    def _stage_fusion_method(self) -> str:
+        return self.args.get("fusion_method", "max")
 
     def _compressor_width(self):
         # reference compresses the 64ch scatter canvas BEFORE the backbone
-        # (:140-141, NaiveCompressor(64, ...)); __call__ applies it there
+        # (:140-141, NaiveCompressor(64, ...))
         return int(self.args["pillar_vfe"]["num_filters"][-1])
-
-    def _fuse_scale(self, feat, b, l, agent_mask):
-        g = feat.reshape((b, l) + feat.shape[1:])
-        if self.fusion_method == "att":
-            return ego_agent_attention(g, agent_mask)
-        return max_fusion(g, agent_mask)
-
-    def __call__(self, batch, train: bool = False):
-        from airv2x_tpu.models.resnet_bev import ResNetBEVBackbone
-
-        x = self.encode(batch, train)
-        b, l = x.shape[:2]
-        flat = x.reshape((b * l,) + x.shape[2:])
-        if self.compression:
-            flat = self.compressor(flat, train)
-
-        if isinstance(self.backbone, ResNetBEVBackbone):
-            ms = self.backbone.get_multiscale_feature(flat, train)
-        else:
-            ms, h = [], flat
-            for i in range(len(self.backbone.layer_nums)):
-                h = self.backbone.stage(i, h, train)
-                ms.append(h)
-        rate = sum(
-            jnp.sum((f != 0).astype(jnp.float32)) for f in ms
-        )
-        fused_ms = [
-            self._fuse_scale(f, b, l, batch["agent_mask"]) for f in ms
-        ]
-        if isinstance(self.backbone, ResNetBEVBackbone):
-            fused = self.backbone.decode_multiscale(fused_ms, train)
-        else:
-            ups = [
-                self.backbone.deblock(i, f, train)
-                for i, f in enumerate(fused_ms)
-            ]
-            fused = self.backbone.finish(ups, train)
-        if self.shrink_flag:
-            fused = self.shrink_conv(fused, train)
-        return {
-            "psm": self.cls_head(fused),
-            "rm": self.reg_head(fused),
-            "comm_rate": rate,
-        }

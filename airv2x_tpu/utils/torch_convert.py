@@ -419,22 +419,28 @@ def convert_airv2x_when2com(sd: dict, variables: dict, hypes: dict) -> Assigner:
     return asg
 
 
-def convert_point_pillar_intermediate(sd: dict, variables: dict, hypes: dict):
-    """point_pillar{,_early,_max,_intermediate,_where2comm}.py — the flat
-    OPV2V family shares one trunk (pillar_vfe + scatter + backbone +
-    shrink/compress + cls/reg heads); max/att/where2comm fusions carry no
-    learned params beyond the frozen gaussian comm filter."""
-    args = dict(hypes["model"]["args"])
-    args.setdefault("preprocess", hypes.get("preprocess"))
-    ts = TorchState(strip_module_prefix(sd))
-    asg = Assigner(variables)
-
+def _convert_flat_trunk(ts: TorchState, asg: Assigner, args: dict):
+    """Shared flat-family trunk: pillar vfe(s) + backbone + shrink/compress
+    + det heads + (optional) disconet pixel-weight stack. The lidar VFE
+    lands at flax key ``vfe`` (PointPillarBase attribute name); the _lrf
+    variants' ``lidar_pillar_vfe``/``radar_pillar_vfe`` torch scopes map to
+    ``vfe``/``radar_vfe`` (point_pillar_v2xvit_lrf.py:20-33)."""
     pre = args.get("preprocess") or {}
     nf = args["pillar_vfe"]["num_filters"]
     fast = bool((pre.get("args") or {}).get("fast_pillars", True)) and len(nf) == 1
-    convert_pillar_vfe(
-        ts.sub("pillar_vfe"), asg, ("pillar_vfe",), fast=fast, num_layers=len(nf)
-    )
+    if any(k.startswith("lidar_pillar_vfe.") for k in ts.keys()):
+        convert_pillar_vfe(
+            ts.sub("lidar_pillar_vfe"), asg, ("vfe",), fast=fast,
+            num_layers=len(nf),
+        )
+        convert_pillar_vfe(
+            ts.sub("radar_pillar_vfe"), asg, ("radar_vfe",), fast=fast,
+            num_layers=len(nf),
+        )
+    else:
+        convert_pillar_vfe(
+            ts.sub("pillar_vfe"), asg, ("vfe",), fast=fast, num_layers=len(nf)
+        )
     bb = args["base_bev_backbone"]
     convert_bev_backbone(
         ts.sub("backbone"),
@@ -444,13 +450,16 @@ def convert_point_pillar_intermediate(sd: dict, variables: dict, hypes: dict):
         upsample_strides=bb.get("upsample_strides", ()),
     )
     shrink = args.get("shrink_header", {})
-    if shrink.get("use"):
+    if shrink.get("use") or (
+        shrink and "use" not in shrink and "dim" in shrink
+    ):  # reference configs omit 'use'; presence of the block enables it
         convert_downsample_conv(
             ts.sub("shrink_conv"), asg, ("shrink_conv",), n_layers=len(shrink["dim"])
         )
     if int(args.get("compression", 0)) > 0:
         convert_naive_compressor(ts.sub("naive_compressor"), asg, ("compressor",))
-    convert_det_heads(ts, asg)
+    # flat family keeps the 1x1 heads at model top level (no 'heads' nest)
+    convert_det_heads(ts, asg, base=())
     # disconet pixel weight stack (point_pillar_disconet.py:176-199)
     if "pixel_weight_layer.conv1_1.weight" in ts:
         pw = ts.sub("pixel_weight_layer")
@@ -463,12 +472,84 @@ def convert_point_pillar_intermediate(sd: dict, variables: dict, hypes: dict):
                 scope=f"bn1_{i}",
             )
         convert_conv(pw, asg, ("pixel_weight", "Conv_3"), scope="conv1_4")
-    # param-less / frozen fusion blocks (gaussian comm filter etc.)
-    for scope in ("fusion_net", "naive_communication"):
-        for k in list(ts.sub(scope).keys()):
-            ts.consumed.add(k)
-    asg.torch_leftovers = ts.leftovers()
-    return asg
+
+
+def _flat_converter(fusion_fn=None):
+    """Build a flat-family converter: trunk + optional fusion-net mapping;
+    unconverted fusion/communication scopes are consumed (frozen gaussian
+    filters and other param-less blocks)."""
+
+    def convert(sd: dict, variables: dict, hypes: dict) -> Assigner:
+        args = dict(hypes["model"]["args"])
+        args.setdefault("preprocess", hypes.get("preprocess"))
+        ts = TorchState(strip_module_prefix(sd))
+        asg = Assigner(variables)
+        _convert_flat_trunk(ts, asg, args)
+        if fusion_fn is not None:
+            fusion_fn(ts, asg, args)
+        for scope in ("fusion_net", "naive_communication"):
+            for k in list(ts.sub(scope).keys()):
+                ts.consumed.add(k)
+        asg.torch_leftovers = ts.leftovers()
+        return asg
+
+    return convert
+
+
+def _flat_v2xvit_fusion(ts, asg, args):
+    convert_v2xt_encoder(
+        ts.sub("fusion_net.encoder"),
+        asg,
+        ("fusion_net", "V2XTEncoder_0"),
+        args["transformer"]["encoder"],
+    )
+
+
+def _flat_cobevt_fusion(ts, asg, args):
+    convert_swap_fusion(
+        ts.sub("fusion_net"),
+        asg,
+        ("fusion_net",),
+        depth=int(args["fax_fusion"]["depth"]),
+    )
+
+
+def _flat_v2vnet_fusion(ts, asg, args):
+    convert_v2vnet_fusion(ts.sub("fusion_net"), asg, ("fusion_net",))
+
+
+def _flat_when2com_fusion(ts, asg, args):
+    w2c = args["when2com_fusion"]
+    feat_hw = (int(w2c["H"]) // 4, int(w2c["W"]) // 4)
+    fus = ts.sub("fusion_net")
+    convert_policy_net(
+        fus.sub("query_key_net"), asg, ("fusion_net", "PolicyNet_0")
+    )
+    convert_km_generator(
+        fus.sub("key_net"), asg, ("fusion_net", "key_net"), feat_hw=feat_hw
+    )
+    convert_km_generator(
+        fus.sub("query_net"), asg, ("fusion_net", "query_net"), feat_hw=feat_hw
+    )
+    convert_linear(fus, asg, ("fusion_net", "Dense_0"),
+                   scope="attention_net.linear")
+
+
+def _flat_sicp_fusion(ts, asg, args):
+    convert_sicp_fusion(ts.sub("fusion_net"), asg, ("fusion_net",))
+
+
+convert_point_pillar_intermediate = _flat_converter()
+convert_point_pillar_intermediate.__doc__ = (
+    "point_pillar{,_early,_max,_intermediate,_where2comm}.py — shared flat"
+    " trunk; max/att/where2comm fusions carry no learned params beyond the"
+    " frozen gaussian comm filter."
+)
+convert_point_pillar_v2xvit = _flat_converter(_flat_v2xvit_fusion)
+convert_point_pillar_cobevt = _flat_converter(_flat_cobevt_fusion)
+convert_point_pillar_v2vnet = _flat_converter(_flat_v2vnet_fusion)
+convert_point_pillar_when2com = _flat_converter(_flat_when2com_fusion)
+convert_point_pillar_sicp = _flat_converter(_flat_sicp_fusion)
 
 
 
@@ -875,11 +956,25 @@ CONVERTERS: dict[str, Callable[[dict, dict, dict], Assigner]] = {
     "airv2x_sicp": convert_airv2x_sicp,
     "point_pillar_intermediate": convert_point_pillar_intermediate,
     "point_pillar": convert_point_pillar_intermediate,
+    "point_pillar_attfusion": convert_point_pillar_intermediate,
     "point_pillar_early": convert_point_pillar_intermediate,
     "point_pillar_max": convert_point_pillar_intermediate,
+    "point_pillar_baseline_multiscale": convert_point_pillar_intermediate,
     "point_pillar_where2comm": convert_point_pillar_intermediate,
+    "point_pillar_where2comm_lrf": convert_point_pillar_intermediate,
     "point_pillar_coalign": convert_point_pillar_intermediate,
+    "point_pillar_coalign_lrf": convert_point_pillar_intermediate,
     "point_pillar_disconet": convert_point_pillar_intermediate,
+    "point_pillar_disconet_teacher": convert_point_pillar_intermediate,
+    "point_pillar_intermediate_lrf": convert_point_pillar_intermediate,
+    "point_pillar_v2xvit": convert_point_pillar_v2xvit,
+    "point_pillar_v2xvit_lrf": convert_point_pillar_v2xvit,
+    "point_pillar_cobevt": convert_point_pillar_cobevt,
+    "point_pillar_cobevt_lrf": convert_point_pillar_cobevt,
+    "point_pillar_v2vnet": convert_point_pillar_v2vnet,
+    "point_pillar_when2com": convert_point_pillar_when2com,
+    "point_pillar_sicp": convert_point_pillar_sicp,
+    "point_pillar_sicp_lrf": convert_point_pillar_sicp,
     "airv2x_early": convert_point_pillar_intermediate,
 }
 

@@ -1366,4 +1366,6 @@ def test_disconet_pixel_weight_parity():
     assert not ts.leftovers(), ts.leftovers()
 
     got = np.asarray(model.apply(asg.variables, jnp.asarray(x)))
-    assert_close(got, want, what="disconet pixel weight layer")
+    # four convs + three BNs of fp32 accumulate ~3e-4 torch-vs-XLA noise
+    assert_close(got, want, atol=1e-3, rtol=1e-3,
+                 what="disconet pixel weight layer")
