@@ -216,3 +216,77 @@ def test_flat_disconet_teacher():
     ref = PointPillarDiscoNetTeacher(args).eval()
     _convert_and_check("point_pillar_disconet_teacher", ref,
                        _hypes("point_pillar_disconet_teacher", args))
+
+
+def test_flat_v2xvit():
+    from opencood.models.point_pillar_v2xvit import PointPillarV2XVit
+
+    trans = {
+        "encoder": {
+            "num_blocks": 1,
+            "depth": 2,
+            "use_roi_mask": True,
+            "use_RTE": True,
+            "RTE_ratio": 2,
+            "cav_att_config": {
+                "dim": 256, "use_hetero": True, "use_RTE": True,
+                "RTE_ratio": 2, "heads": 8, "dim_head": 32, "dropout": 0.0,
+            },
+            "pwindow_att_config": {
+                "dim": 256, "heads": [16, 8, 4], "dim_head": [16, 32, 64],
+                "dropout": 0.0, "window_size": [2, 4, 4],
+                "relative_pos_embedding": True,
+                "fusion_method": "split_attn",
+            },
+            "feed_forward": {"mlp_dim": 256, "dropout": 0.0},
+            "sttf": {"voxel_size": [0.4, 0.4, 4], "downsample_rate": 4},
+        }
+    }
+    args = _flat_args({"transformer": trans, "max_cav": 2})
+    torch.manual_seed(6)
+    ref = PointPillarV2XVit(args).eval()
+    # relative_position_index / mask buffers are recomputed constants
+    _convert_and_check("point_pillar_v2xvit", ref,
+                       _hypes("point_pillar_v2xvit", args),
+                       allowed_leftovers=("relative_position_index",
+                                          "attn_mask"))
+
+
+def test_flat_cobevt():
+    from opencood.models.point_pillar_cobevt import PointPillarCoBEVT
+
+    args = _flat_args({
+        "fax_fusion": {
+            "input_dim": 256, "mlp_dim": 256, "agent_size": 3,
+            "window_size": 4, "dim_head": 32, "drop_out": 0.0,
+            "depth": 2, "mask": True,
+        },
+    })
+    torch.manual_seed(7)
+    ref = PointPillarCoBEVT(args).eval()
+    _convert_and_check("point_pillar_cobevt", ref,
+                       _hypes("point_pillar_cobevt", args),
+                       allowed_leftovers=("relative_position_index",
+                                          "attn_mask"))
+
+
+def test_flat_when2com():
+    from opencood.models.point_pillar_when2com import PointPillarWhen2com
+
+    w2c = {
+        "voxel_size": [0.4, 0.4, 4],
+        "downsample_rate": 2,
+        "in_channels": 256,
+        "feat_H": GRID // 2,
+        "feat_W": GRID // 2,
+        "query_size": 8,
+        "key_size": 16,
+        "mode": "softmax",
+        "H": GRID // 2,
+        "W": GRID // 2,
+    }
+    args = _flat_args({"v2vfusion": w2c, "when2com_fusion": w2c})
+    torch.manual_seed(8)
+    ref = PointPillarWhen2com(args).eval()
+    _convert_and_check("point_pillar_when2com", ref,
+                       _hypes("point_pillar_when2com", args))
