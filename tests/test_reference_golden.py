@@ -414,3 +414,62 @@ def test_box_corner_golden(rng):
         ref = ref.numpy()
     mine = np.asarray(geo.boxes_to_corners_3d(jnp.asarray(boxes), order="hwl"))
     np.testing.assert_allclose(mine, ref, atol=1e-4)
+
+
+def test_pairwise_warp_golden(rng):
+    """normalize_pairwise_tfm + warp_affine_simple (reference torch) vs
+    ops.warp normalized_pairwise_affine + warp_affine_normalized — the BEV
+    neighbor-to-ego warp convention every intermediate fusion relies on."""
+    import torch
+
+    from opencood.models.sub_modules.torch_transformation_utils import (
+        warp_affine_simple,
+    )
+    from opencood.utils.transformation_utils import normalize_pairwise_tfm
+
+    import jax.numpy as jnp
+
+    from airv2x_tpu.ops.warp import (
+        normalized_pairwise_affine,
+        warp_affine_normalized,
+    )
+
+    h, w, c = 24, 48, 6
+    discrete_ratio, downsample = 0.4, 2
+
+    # random planar rigid transform per (ego, sender) pair
+    ang = rng.uniform(-np.pi / 3, np.pi / 3)
+    tx, ty = rng.uniform(-4, 4, 2)
+    t = np.eye(4, dtype=np.float64)
+    t[0, 0] = t[1, 1] = np.cos(ang)
+    t[0, 1], t[1, 0] = -np.sin(ang), np.sin(ang)
+    t[0, 3], t[1, 3] = tx, ty
+    pairwise = np.broadcast_to(t, (1, 2, 2, 4, 4)).copy()
+
+    feat = rng.normal(size=(1, c, h, w)).astype(np.float32)
+
+    t_norm = normalize_pairwise_tfm(
+        torch.from_numpy(pairwise.astype(np.float32)), h, w,
+        discrete_ratio, downsample,
+    )
+    with torch.no_grad():
+        want = (
+            warp_affine_simple(
+                torch.from_numpy(feat), t_norm[0, 0, 1][None], (h, w)
+            )
+            .numpy()
+            .transpose(0, 2, 3, 1)
+        )
+
+    aff = normalized_pairwise_affine(
+        jnp.asarray(pairwise, jnp.float32)[0, 0, 1],
+        h, w, discrete_ratio, downsample,
+    )
+    got = np.asarray(
+        warp_affine_normalized(
+            jnp.asarray(feat.transpose(0, 2, 3, 1)), aff[None]
+        )
+    )
+    assert np.abs(got - want).max() < 2e-4, (
+        f"warp mismatch {np.abs(got - want).max()}"
+    )
