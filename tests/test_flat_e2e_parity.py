@@ -1,0 +1,158 @@
+"""End-to-end forward parity for the flat OPV2V family: the ACTUAL
+reference torch model (point_pillar_intermediate.py with AttBEVBackbone)
+vs the flax twin with CONVERTED weights, on identical pillars.
+
+This closes the loop the key-coverage tests (test_flat_convert_coverage)
+leave open: it proves the flat trunk layout rules AND the per-stage
+attention fusion semantics (_PerStageFusionBase) are numerically right.
+"""
+
+import sys
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+from tests.reference_stubs import install_reference_stubs  # noqa: E402
+
+install_reference_stubs()
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import torch  # noqa: E402
+
+from airv2x_tpu.models import build_model  # noqa: E402
+from airv2x_tpu.utils.torch_convert import CONVERTERS  # noqa: E402
+from tests.test_torch_parity import randomize_batchnorms  # noqa: E402
+
+GRID = 32
+L = 2
+N_PTS = 600
+
+
+def _args():
+    return {
+        "max_cav": L,
+        "anchor_number": 2,
+        "anchor_num": 2,
+        "compression": 0,
+        "voxel_size": [0.4, 0.4, 4],
+        "lidar_range": [-6.4, -6.4, -3, 6.4, 6.4, 1],
+        "pillar_vfe": {
+            "use_norm": True,
+            "with_distance": False,
+            "use_absolute_xyz": True,
+            "num_filters": [64],
+        },
+        "point_pillar_scatter": {
+            "num_features": 64,
+            "grid_size": np.array([GRID, GRID, 1]),
+        },
+        # reference point_pillar_intermediate.py:36-37 hardcodes 128*3 heads
+        "base_bev_backbone": {
+            "layer_nums": [1, 1, 1],
+            "layer_strides": [2, 2, 2],
+            "num_filters": [64, 128, 256],
+            "upsample_strides": [1, 2, 4],
+            "num_upsample_filter": [128, 128, 128],
+        },
+    }
+
+
+def test_flat_intermediate_e2e_parity():
+    from opencood.models.point_pillar_intermediate import (
+        PointPillarIntermediate,
+    )
+
+    from airv2x_tpu.ops.voxelize import pillarize
+
+    args = _args()
+    hypes = {
+        "model": {"core_method": "point_pillar_intermediate", "args": args},
+        "preprocess": {
+            "cav_lidar_range": args["lidar_range"],
+            "args": {
+                "voxel_size": args["voxel_size"],
+                "max_voxel_train": 512,
+                "max_points_per_voxel": 8,
+                "fast_pillars": False,  # classic PFN == reference PillarVFE
+            },
+        },
+        "postprocess": {"max_num": 20},
+    }
+
+    rng = np.random.default_rng(17)
+    lr = args["lidar_range"]
+    pts = np.zeros((L, N_PTS, 4), np.float32)
+    for a in range(L):
+        pts[a, :, 0] = rng.uniform(lr[0], lr[3], N_PTS)
+        pts[a, :, 1] = rng.uniform(lr[1], lr[4], N_PTS)
+        pts[a, :, 2] = rng.uniform(-2.5, 0.5, N_PTS)
+        pts[a, :, 3] = rng.uniform(0, 1, N_PTS)
+    mask = np.ones((L, N_PTS), bool)
+
+    # shared voxelization so both PFNs see identical pillars
+    vox = [
+        pillarize(
+            jnp.asarray(pts[a]),
+            jnp.asarray(mask[a]),
+            lidar_range=jnp.asarray(lr, jnp.float32),
+            voxel_size=jnp.asarray(args["voxel_size"], jnp.float32),
+            grid_size=(GRID, GRID, 1),
+            max_pillars=512,
+            max_points_per_pillar=8,
+        )
+        for a in range(L)
+    ]
+    vf, npts, co = [], [], []
+    for bi in range(L):  # each agent is a torch batch row (sum(record_len))
+        m = np.asarray(vox[bi].mask)
+        vf.append(np.asarray(vox[bi].voxels)[m])
+        npts.append(np.asarray(vox[bi].num_points)[m])
+        c = np.asarray(vox[bi].coords)[m]
+        co.append(np.concatenate([np.full((len(c), 1), bi, c.dtype), c], 1))
+    data_dict = {
+        "processed_lidar": {
+            "voxel_features": torch.tensor(np.concatenate(vf)),
+            "voxel_num_points": torch.tensor(np.concatenate(npts)),
+            "voxel_coords": torch.tensor(np.concatenate(co)),
+        },
+        "record_len": torch.tensor([L]),
+    }
+
+    torch.manual_seed(21)
+    ref = PointPillarIntermediate(args).eval()
+    randomize_batchnorms(ref, rng)
+    with torch.no_grad():
+        out_ref = ref(data_dict)
+
+    model = build_model(hypes)
+    batch = {
+        "points": jnp.asarray(pts[None]),
+        "points_mask": jnp.asarray(mask[None]),
+        "agent_mask": jnp.ones((1, L), bool),
+        "pairwise_t": jnp.broadcast_to(jnp.eye(4), (1, L, 4, 4)),
+        "pairwise_t_full": jnp.broadcast_to(jnp.eye(4), (1, L, L, 4, 4)),
+        "prior_encoding": jnp.zeros((1, L, 3)),
+    }
+    variables = jax.jit(lambda r, b: model.init(r, b, train=False))(
+        {"params": jax.random.PRNGKey(0), "comm": jax.random.PRNGKey(1)},
+        batch,
+    )
+    asg = CONVERTERS["point_pillar_intermediate"](
+        {k: v for k, v in ref.state_dict().items()},
+        jax.tree.map(np.asarray, dict(variables)),
+        hypes,
+    )
+    assert not asg.skipped, asg.skipped[:6]
+
+    out = model.apply(asg.variables, batch, train=False)
+    want_psm = out_ref["psm"].permute(0, 2, 3, 1).numpy()
+    want_rm = out_ref["rm"].permute(0, 2, 3, 1).numpy()
+    got_psm = np.asarray(out["psm"])
+    got_rm = np.asarray(out["rm"])
+    assert got_psm.shape == want_psm.shape
+    err_p = np.abs(got_psm - want_psm).max()
+    err_r = np.abs(got_rm - want_rm).max()
+    assert err_p < 2e-3, f"psm e2e mismatch {err_p}"
+    assert err_r < 2e-3, f"rm e2e mismatch {err_r}"
