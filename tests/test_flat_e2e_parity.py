@@ -59,16 +59,9 @@ def _args():
     }
 
 
-def test_flat_intermediate_e2e_parity():
-    from opencood.models.point_pillar_intermediate import (
-        PointPillarIntermediate,
-    )
-
-    from airv2x_tpu.ops.voxelize import pillarize
-
-    args = _args()
-    hypes = {
-        "model": {"core_method": "point_pillar_intermediate", "args": args},
+def _hypes_for(core_method, args):
+    return {
+        "model": {"core_method": core_method, "args": args},
         "preprocess": {
             "cav_lidar_range": args["lidar_range"],
             "args": {
@@ -81,7 +74,11 @@ def test_flat_intermediate_e2e_parity():
         "postprocess": {"max_num": 20},
     }
 
-    rng = np.random.default_rng(17)
+
+def _shared_inputs(args, rng):
+    """Same pillars in both formats: torch voxel dict + dense-slot batch."""
+    from airv2x_tpu.ops.voxelize import pillarize
+
     lr = args["lidar_range"]
     pts = np.zeros((L, N_PTS, 4), np.float32)
     for a in range(L):
@@ -91,7 +88,6 @@ def test_flat_intermediate_e2e_parity():
         pts[a, :, 3] = rng.uniform(0, 1, N_PTS)
     mask = np.ones((L, N_PTS), bool)
 
-    # shared voxelization so both PFNs see identical pillars
     vox = [
         pillarize(
             jnp.asarray(pts[a]),
@@ -118,15 +114,8 @@ def test_flat_intermediate_e2e_parity():
             "voxel_coords": torch.tensor(np.concatenate(co)),
         },
         "record_len": torch.tensor([L]),
+        "pairwise_t_matrix": torch.eye(4).repeat(1, L, L, 1, 1),
     }
-
-    torch.manual_seed(21)
-    ref = PointPillarIntermediate(args).eval()
-    randomize_batchnorms(ref, rng)
-    with torch.no_grad():
-        out_ref = ref(data_dict)
-
-    model = build_model(hypes)
     batch = {
         "points": jnp.asarray(pts[None]),
         "points_mask": jnp.asarray(mask[None]),
@@ -135,11 +124,20 @@ def test_flat_intermediate_e2e_parity():
         "pairwise_t_full": jnp.broadcast_to(jnp.eye(4), (1, L, L, 4, 4)),
         "prior_encoding": jnp.zeros((1, L, 3)),
     }
+    return data_dict, batch
+
+
+def _e2e_compare(core_method, ref, data_dict, batch, hypes, rng, tol=2e-3):
+    randomize_batchnorms(ref, rng)
+    with torch.no_grad():
+        out_ref = ref(data_dict)
+
+    model = build_model(hypes)
     variables = jax.jit(lambda r, b: model.init(r, b, train=False))(
         {"params": jax.random.PRNGKey(0), "comm": jax.random.PRNGKey(1)},
         batch,
     )
-    asg = CONVERTERS["point_pillar_intermediate"](
+    asg = CONVERTERS[core_method](
         {k: v for k, v in ref.state_dict().items()},
         jax.tree.map(np.asarray, dict(variables)),
         hypes,
@@ -154,5 +152,74 @@ def test_flat_intermediate_e2e_parity():
     assert got_psm.shape == want_psm.shape
     err_p = np.abs(got_psm - want_psm).max()
     err_r = np.abs(got_rm - want_rm).max()
-    assert err_p < 2e-3, f"psm e2e mismatch {err_p}"
-    assert err_r < 2e-3, f"rm e2e mismatch {err_r}"
+    scale = max(np.abs(want_psm).max(), 1.0)
+    assert err_p < tol * scale, f"{core_method} psm e2e mismatch {err_p}"
+    assert err_r < tol * scale, f"{core_method} rm e2e mismatch {err_r}"
+
+
+def test_flat_intermediate_e2e_parity():
+    from opencood.models.point_pillar_intermediate import (
+        PointPillarIntermediate,
+    )
+
+    args = _args()
+    rng = np.random.default_rng(17)
+    data_dict, batch = _shared_inputs(args, rng)
+    torch.manual_seed(21)
+    ref = PointPillarIntermediate(args).eval()
+    _e2e_compare("point_pillar_intermediate", ref, data_dict, batch,
+                 _hypes_for("point_pillar_intermediate", args), rng)
+
+
+def test_flat_v2vnet_e2e_parity():
+    from opencood.models.point_pillar_v2vnet import PointPillarV2VNet
+
+    args = _args()
+    args["backbone_fix"] = False
+    args["shrink_header"] = {
+        "use": True, "input_dim": 384, "dim": [256],
+        "kernal_size": [3], "stride": [1], "padding": [1],
+    }
+    args["v2vfusion"] = {
+        "voxel_size": args["voxel_size"],
+        "downsample_rate": 1,
+        "num_iteration": 2,
+        "in_channels": 256,
+        "gru_flag": True,
+        "agg_operator": "avg",
+        "conv_gru": {
+            "H": GRID // 2, "W": GRID // 2,
+            "kernel_size": [[3, 3]], "num_layers": 1,
+        },
+    }
+    rng = np.random.default_rng(19)
+    data_dict, batch = _shared_inputs(args, rng)
+    torch.manual_seed(23)
+    ref = PointPillarV2VNet(args).eval()
+    _e2e_compare("point_pillar_v2vnet", ref, data_dict, batch,
+                 _hypes_for("point_pillar_v2vnet", args), rng)
+
+
+def test_flat_sicp_e2e_parity():
+    from opencood.models.point_pillar_sicp import PointPillarSiCP
+
+    args = _args()
+    args["backbone_fix"] = False
+    args["shrink_header"] = {
+        "use": True, "input_dim": 384, "dim": [256],
+        "kernal_size": [1], "stride": [1], "padding": [0],
+    }
+    args["in_channels"] = 512   # pre-doubled cat(rec, sed) width
+    args["out_channels"] = 256
+    rng = np.random.default_rng(29)
+    data_dict, batch = _shared_inputs(args, rng)
+    torch.manual_seed(31)
+    ref = PointPillarSiCP(args).eval()
+    # the reference fusion hardcodes .cuda() (sicp_fuse.py:46,50) — no-op it
+    orig = torch.Tensor.cuda
+    torch.Tensor.cuda = lambda self, *a, **k: self
+    try:
+        _e2e_compare("point_pillar_sicp", ref, data_dict, batch,
+                     _hypes_for("point_pillar_sicp", args), rng)
+    finally:
+        torch.Tensor.cuda = orig
