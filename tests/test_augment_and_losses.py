@@ -60,3 +60,43 @@ def test_coalign_loss_iou_term(rng):
     out2 = {"psm": out["psm"], "rm": jnp.asarray(rm.reshape(1, h, w, a * 7))}
     _, parts1 = loss_fn(out2, target)
     assert float(parts1["iou_loss"]) > 0.1
+
+
+def test_focal_seg_loss_golden():
+    """focal_seg_loss vs the reference FocalSegLoss (loss/focal_seg_loss.py)
+    on random logits, incl. scalar-alpha and ignore_index modes."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from tests.reference_stubs import install_reference_stubs
+    install_reference_stubs()
+    import torch
+    from opencood.loss.focal_seg_loss import FocalSegLoss
+
+    from airv2x_tpu.loss import build_loss
+
+    rng = np.random.default_rng(5)
+    b, h, w, cd, cs = 2, 8, 10, 8, 3
+    dyn = rng.normal(size=(b, h, w, cd)).astype(np.float32)
+    sta = rng.normal(size=(b, h, w, cs)).astype(np.float32)
+    dlab = rng.integers(0, cd, (b, h, w))
+    slab = rng.integers(0, cs, (b, h, w))
+
+    for extra in ({}, {"ignore_index": 0}):
+        args = {"gamma": 2.0, "alpha": 0.75, "reduction": "mean", **extra}
+        ref = FocalSegLoss(args)
+        want = ref(
+            {"dynamic_seg": torch.from_numpy(dyn).permute(0, 3, 1, 2),
+             "static_seg": torch.from_numpy(sta).permute(0, 3, 1, 2)},
+            {"dynamic_seg_label": torch.from_numpy(dlab),
+             "static_seg_label": torch.from_numpy(slab)},
+        ).item()
+        loss_fn = build_loss({
+            "loss": {"core_method": "focal_seg_loss", "args": args},
+            "model": {"args": {"task": "seg"}},
+        })
+        got, parts = loss_fn(
+            {"dynamic_seg": jnp.asarray(dyn), "static_seg": jnp.asarray(sta)},
+            {"dynamic_seg_label": jnp.asarray(dlab),
+             "static_seg_label": jnp.asarray(slab)},
+        )
+        assert abs(float(got) - want) < 1e-5, (extra, float(got), want)
