@@ -157,3 +157,76 @@ def load_general_params(param: dict) -> dict:
     if "preprocess" in param and "anchor_args" in param.get("postprocess", {}):
         return load_point_pillar_params(param)
     return param
+
+
+@register_parser("load_voxel_params")
+def load_voxel_params(param: dict) -> dict:
+    """Voxel-model deriver (yaml_utils.py:87-127): anchor W/H/D from the
+    anchor_args' own lidar range, mirrored into model args."""
+    anchor_args = param["postprocess"]["anchor_args"]
+    lr = anchor_args["cav_lidar_range"]
+    vw, vh, vd = param["preprocess"]["args"]["voxel_size"]
+    anchor_args["vw"], anchor_args["vh"], anchor_args["vd"] = vw, vh, vd
+    anchor_args["W"] = int((lr[3] - lr[0]) / vw)
+    anchor_args["H"] = int((lr[4] - lr[1]) / vh)
+    anchor_args["D"] = int((lr[5] - lr[2]) / vd)
+    if "model" in param:
+        for k in ("W", "H", "D"):
+            param["model"]["args"][k] = anchor_args[k]
+    return param
+
+
+@register_parser("load_second_params")
+def load_second_params(param: dict) -> dict:
+    """SECOND-style deriver (yaml_utils.py:363-404): grid_size into model
+    args + floor-division anchor W/H/D."""
+    lr = param["preprocess"]["cav_lidar_range"]
+    voxel_size = param["preprocess"]["args"]["voxel_size"]
+    param["model"]["args"]["grid_size"] = _grid_size(lr, voxel_size)
+    anchor_args = param["postprocess"]["anchor_args"]
+    vw, vh, vd = voxel_size
+    anchor_args["vw"], anchor_args["vh"], anchor_args["vd"] = vw, vh, vd
+    anchor_args["W"] = int((lr[3] - lr[0]) / vw)
+    anchor_args["H"] = int((lr[4] - lr[1]) / vh)
+    anchor_args["D"] = int((lr[5] - lr[2]) / vd)
+    return param
+
+
+@register_parser("load_bev_params")
+def load_bev_params(param: dict) -> dict:
+    """BEV-grid geometry deriver (yaml_utils.py:406-455): input/label shapes
+    from range / res, shared as ``geometry_param``."""
+    res = param["preprocess"]["args"]["res"]
+    l1, w1, h1, l2, w2, h2 = param["preprocess"]["cav_lidar_range"]
+    downsample_rate = param["preprocess"]["args"]["downsample_rate"]
+    input_shape = (
+        int((l2 - l1) / res), int((w2 - w1) / res), int((h2 - h1) / res) + 1
+    )
+    geometry_param = {
+        "L1": l1, "L2": l2, "W1": w1, "W2": w2, "H1": h1, "H2": h2,
+        "downsample_rate": downsample_rate,
+        "input_shape": input_shape,
+        "label_shape": (
+            input_shape[0] // downsample_rate,
+            input_shape[1] // downsample_rate,
+            7,
+        ),
+        "res": res,
+    }
+    param["preprocess"]["geometry_param"] = geometry_param
+    param["postprocess"]["geometry_param"] = geometry_param
+    param["model"]["args"]["geometry_param"] = geometry_param
+    return param
+
+
+@register_parser("load_lift_splat_shoot_params")
+def load_lift_splat_shoot_params(param: dict) -> dict:
+    """LSS camera deriver (yaml_utils.py:527-571): ceil-division anchor
+    W/H/D (identical arithmetic to the point-pillar deriver)."""
+    return load_point_pillar_params(param)
+
+
+@register_parser("load_airv2x_bm2cp_params")
+def load_airv2x_bm2cp_params(param: dict) -> dict:
+    """BM2CP deriver (yaml_utils.py:302-360): airv2x derivation applies."""
+    return load_airv2x_params(param)
