@@ -13,13 +13,21 @@ import numpy as np
 
 
 def random_world_flip(points, boxes, rng, along=("x",)):
-    """Flip about the x axis (negate y), reference augment_utils semantics."""
+    """Random axis flips, reference augment_utils semantics:
+    along 'x' negates y and heading (:9-26); along 'y' negates x and maps
+    heading to -(heading + pi) (:28-45)."""
     if "x" in along and rng.uniform() < 0.5:
         points = points.copy()
         boxes = boxes.copy()
         points[..., 1] = -points[..., 1]
         boxes[..., 1] = -boxes[..., 1]
         boxes[..., 6] = -boxes[..., 6]
+    if "y" in along and rng.uniform() < 0.5:
+        points = points.copy()
+        boxes = boxes.copy()
+        points[..., 0] = -points[..., 0]
+        boxes[..., 0] = -boxes[..., 0]
+        boxes[..., 6] = -(boxes[..., 6] + np.pi)
     return points, boxes
 
 

@@ -100,3 +100,79 @@ def test_focal_seg_loss_golden():
              "static_seg_label": jnp.asarray(slab)},
         )
         assert abs(float(got) - want) < 1e-5, (extra, float(got), want)
+
+
+def test_augment_golden_vs_reference():
+    """random flip / global rotation / global scaling vs the reference
+    augment_utils (forced transform values via np.random monkeypatch)."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    from tests.reference_stubs import install_reference_stubs
+    install_reference_stubs()
+    from opencood.data_utils.augmentor import augment_utils
+
+    from airv2x_tpu.data.augment import (
+        random_world_flip,
+        random_world_rotation,
+        random_world_scaling,
+    )
+
+    rng = np.random.default_rng(11)
+    pts = rng.normal(size=(50, 4)).astype(np.float64)
+    boxes = rng.normal(size=(6, 7)).astype(np.float64)
+
+    class Forced:
+        """rng stub: uniform() -> value below 0.5 (enable flips) or the
+        forced noise value for rotation/scaling."""
+
+        def __init__(self, val):
+            self.val = val
+
+        def uniform(self, *a):
+            return self.val if a else 0.0  # 0.0 < 0.5 enables flips
+
+    # flips: force enable on the reference side too
+    orig_choice = np.random.choice
+    np.random.choice = lambda *a, **k: True
+    try:
+        w_b, w_p = augment_utils.random_flip_along_x(
+            boxes.copy(), pts.copy()
+        )
+        g_p, g_b = random_world_flip(pts, boxes, Forced(0.0), along=("x",))
+        np.testing.assert_allclose(g_p, w_p)
+        np.testing.assert_allclose(g_b, w_b)
+        w_b, w_p = augment_utils.random_flip_along_y(
+            boxes.copy(), pts.copy()
+        )
+        g_p, g_b = random_world_flip(pts, boxes, Forced(0.0), along=("y",))
+        np.testing.assert_allclose(g_p, w_p)
+        np.testing.assert_allclose(g_b, w_b)
+    finally:
+        np.random.choice = orig_choice
+
+    # rotation / scaling: force the noise draw
+    ang, scale = 0.37, 1.042
+    orig_uniform = np.random.uniform
+    np.random.uniform = lambda *a, **k: ang
+    try:
+        w_b, w_p = augment_utils.global_rotation(
+            boxes.copy(), pts.copy(), [0, 1]
+        )
+    finally:
+        np.random.uniform = orig_uniform
+    g_p, g_b = random_world_rotation(pts, boxes, Forced(ang), (0, 1))
+    # reference rotates through torch float32 (common_utils
+    # check_numpy_to_torch) — fp32-level agreement is the exact target
+    np.testing.assert_allclose(g_p, w_p, atol=3e-6)
+    np.testing.assert_allclose(g_b, w_b, atol=3e-6)
+
+    np.random.uniform = lambda *a, **k: scale
+    try:
+        w_b, w_p = augment_utils.global_scaling(
+            boxes.copy(), pts.copy(), [0.9, 1.1]
+        )
+    finally:
+        np.random.uniform = orig_uniform
+    g_p, g_b = random_world_scaling(pts, boxes, Forced(scale), (0.9, 1.1))
+    np.testing.assert_allclose(g_p, w_p)
+    np.testing.assert_allclose(g_b, w_b)
