@@ -43,6 +43,18 @@ def make_lr_schedule(hypes: dict, steps_per_epoch: int):
     if method in ("exponential", "Exponential"):
         gamma = float(sched_cfg.get("gamma", 0.98))
         return lambda step: base_lr * gamma ** (step / steps_per_epoch)
+    if method == "cosineannealwarm":
+        # timm CosineLRScheduler recipe (train_utils.py:429-446): linear
+        # warmup from warmup_lr then cosine decay to lr_min over the run
+        num_steps = int(sched_cfg["epoches"]) * steps_per_epoch
+        warmup_steps = int(sched_cfg["warmup_epoches"]) * steps_per_epoch
+        return optax.warmup_cosine_decay_schedule(
+            init_value=float(sched_cfg["warmup_lr"]),
+            peak_value=base_lr,
+            warmup_steps=max(warmup_steps, 1),
+            decay_steps=max(num_steps, 2),
+            end_value=float(sched_cfg["lr_min"]),
+        )
     return lambda step: base_lr
 
 
