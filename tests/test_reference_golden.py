@@ -473,3 +473,33 @@ def test_pairwise_warp_golden(rng):
     assert np.abs(got - want).max() < 2e-4, (
         f"warp mismatch {np.abs(got - want).max()}"
     )
+
+
+def test_seg_metrics_golden(rng):
+    """eval/seg_metrics.evaluate_segmentation vs the reference's own
+    evaluator (eval_utils_airv2x.py:447+) on random probability maps."""
+    from opencood.utils import eval_utils_airv2x as ref_eval
+
+    from airv2x_tpu.eval.seg_metrics import evaluate_segmentation
+
+    b, h, w, cd, cs = 2, 16, 20, 8, 3
+    gt_d = rng.integers(0, cd, (b, h, w))
+    gt_s = rng.integers(0, cs, (b, h, w))
+    pr_d = rng.uniform(0, 1, (b, cd, h, w))
+    pr_s = rng.uniform(0, 1, (b, cs, h, w))
+
+    want = ref_eval.evaluate_segmentation(gt_d, pr_d, gt_s, pr_s)
+    got = evaluate_segmentation(
+        gt_d, pr_d.transpose(0, 2, 3, 1), gt_s, pr_s.transpose(0, 2, 3, 1)
+    )
+    for branch in ("dynamic", "static"):
+        w_m, g_m = want[branch], got[branch]
+        for key in ("mean_iou", "mean_dice", "pixel_accuracy"):
+            assert abs(float(g_m[key]) - float(w_m[key])) < 1e-9, (
+                branch, key, g_m[key], w_m[key]
+            )
+        np.testing.assert_allclose(
+            np.asarray(g_m["iou_per_class"], float),
+            np.asarray(w_m["iou_per_class"], float),
+            atol=1e-9, err_msg=branch,
+        )
