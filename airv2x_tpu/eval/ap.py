@@ -98,7 +98,15 @@ def accumulate_multiclass(
     det_corners, det_scores, det_labels, gt_corners, gt_labels, stat
 ):
     """Per-class greedy matching: detections and gts are bucketed by class
-    and matched within the class (calculate_multiclass_tp_fp :204-264)."""
+    and matched within the class (calculate_multiclass_tp_fp :204-264).
+
+    Upstream quirk NOT reproduced: the reference initializes each class
+    bucket with ``gt = len(cls_gt_indices)`` AND then lets caluclate_tp_fp
+    add the same sample's gt count again (:257-263), double-counting the
+    first sample's ground truth per class and deflating recall/AP. Here
+    every sample's gt is counted exactly once
+    (tests/test_reference_golden.py::test_multiclass_map_golden verifies
+    parity against the quirk-cancelled reference)."""
     for c, class_stat in stat.items():
         dm = det_labels == c if det_corners is not None else None
         gm = gt_labels == c
@@ -119,7 +127,11 @@ def eval_multiclass_results(stat):
     for t in IOU_THRESHOLDS:
         aps = []
         for c, class_stat in stat.items():
-            if class_stat[t]["gt"] == 0:
+            # reference inclusion rule (calculate_multiclass_tp_fp:238 +
+            # compute_multiclass_ap_map:293-310): a class participates when
+            # it appears in gt OR detections; det-only classes score AP=0
+            # and pull the mean down, classes absent from both are skipped
+            if class_stat[t]["gt"] == 0 and not class_stat[t]["score"]:
                 continue
             ap = calculate_ap(class_stat, t)
             out["per_class"].setdefault(c, {})[f"ap_{int(t * 100)}"] = ap

@@ -503,3 +503,64 @@ def test_seg_metrics_golden(rng):
             np.asarray(w_m["iou_per_class"], float),
             atol=1e-9, err_msg=branch,
         )
+
+
+def test_multiclass_map_golden(rng):
+    """calculate_multiclass_tp_fp + compute_multiclass_ap_map (reference)
+    vs eval/ap.py multiclass path, incl. the det-only-class AP=0 rule."""
+    from opencood.utils import eval_utils_airv2x as ref_eval
+
+    from airv2x_tpu.eval.ap import (
+        accumulate_multiclass,
+        eval_multiclass_results,
+        new_multiclass_stat,
+    )
+    from airv2x_tpu.ops import geometry as geo
+
+    lr = ANCHOR_PARAMS["anchor_args"]["cav_lidar_range"]
+    num_classes = 4
+    # pre-initialize the reference buckets: its own lazy init double-counts
+    # the first sample's gt per class (calculate_multiclass_tp_fp:257-263
+    # seeds gt=len(...) and caluclate_tp_fp adds the same gts again) — an
+    # upstream bug we do not reproduce (eval/ap.py accumulate_multiclass)
+    ref_stat = {
+        c: {t: {"tp": [], "fp": [], "score": [], "gt": 0}
+            for t in (0.3, 0.5, 0.7)}
+        for c in range(1, num_classes + 1)
+    }
+    my_stat = new_multiclass_stat(num_classes)
+    for seed in range(4):
+        srng = np.random.default_rng(600 + seed)
+        n_gt = int(srng.integers(3, 9))
+        gt = _random_boxes(srng, n_gt, lr)
+        gt_labels = srng.integers(1, num_classes, n_gt)  # class 4 never in gt
+        n_det = int(srng.integers(4, 12))
+        det = gt[srng.integers(0, n_gt, n_det)].copy()
+        det[:, :2] += srng.normal(0, 0.6, (n_det, 2))
+        scores = srng.uniform(0.1, 1.0, n_det).astype(np.float32)
+        det_labels = srng.integers(1, num_classes + 1, n_det)  # incl. 4
+
+        det_c = np.asarray(geo.boxes_to_corners_bev(jnp.asarray(det), "hwl"))
+        gt_c = np.asarray(geo.boxes_to_corners_bev(jnp.asarray(gt), "hwl"))
+
+        for t in (0.3, 0.5, 0.7):
+            ref_eval.calculate_multiclass_tp_fp(
+                torch.tensor(det_c), torch.tensor(scores),
+                torch.tensor(det_labels), torch.tensor(gt_c),
+                gt_labels.tolist(), t, ref_stat,
+            )
+        accumulate_multiclass(
+            det_c, scores, det_labels, gt_c, gt_labels, my_stat
+        )
+
+    res = eval_multiclass_results(my_stat)
+    for t in (0.3, 0.5, 0.7):
+        ap_ref, map_ref = ref_eval.compute_multiclass_ap_map(
+            ref_stat, iou_thresh=t, global_sort_detections=True
+        )
+        assert abs(res[f"map_{int(t * 100)}"] - map_ref) < 1e-9, (
+            t, res[f"map_{int(t * 100)}"], map_ref
+        )
+        for c, ap in ap_ref.items():
+            mine = res["per_class"].get(c, {}).get(f"ap_{int(t * 100)}", 0.0)
+            assert abs(mine - ap) < 1e-9, (t, c, mine, ap)
