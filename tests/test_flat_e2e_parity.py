@@ -223,3 +223,36 @@ def test_flat_sicp_e2e_parity():
                      _hypes_for("point_pillar_sicp", args), rng)
     finally:
         torch.Tensor.cuda = orig
+
+
+def test_flat_where2comm_e2e_parity():
+    from opencood.models.point_pillar_where2comm import (
+        PointPillarWhere2comm as RefW2C,
+    )
+
+    args = _args()
+    args["backbone_fix"] = False
+    args["head_dim"] = 256
+    args["shrink_header"] = {
+        "use": True, "input_dim": 384, "dim": [256],
+        "kernal_size": [3], "stride": [1], "padding": [1],
+    }
+    args["where2comm_fusion"] = {
+        "fully": False,
+        "voxel_size": args["voxel_size"],
+        "downsample_rate": 1,
+        "in_channels": 256,
+        "multi_scale": False,
+        "agg_operator": {"mode": "ATTEN", "feature_dim": 256},
+        "communication": {
+            "round": 1,
+            "threshold": 0.01,
+            "gaussian_smooth": {"k_size": 5, "c_sigma": 1.0},
+        },
+    }
+    rng = np.random.default_rng(37)
+    data_dict, batch = _shared_inputs(args, rng)
+    torch.manual_seed(41)
+    ref = RefW2C(args).eval()
+    _e2e_compare("point_pillar_where2comm", ref, data_dict, batch,
+                 _hypes_for("point_pillar_where2comm", args), rng)
