@@ -256,3 +256,23 @@ def test_flat_where2comm_e2e_parity():
     ref = RefW2C(args).eval()
     _e2e_compare("point_pillar_where2comm", ref, data_dict, batch,
                  _hypes_for("point_pillar_where2comm", args), rng)
+
+
+def test_flat_max_e2e_parity():
+    from opencood.models.point_pillar_max import PointPillarMax
+
+    args = _args()
+    args["backbone_fix"] = False
+    args["shrink_header"] = {
+        "use": True, "input_dim": 384, "dim": [256],
+        "kernal_size": [3], "stride": [1], "padding": [1],
+    }
+    args["v2vfusion"] = {"voxel_size": args["voxel_size"],
+                         "downsample_rate": 1, "in_channels": 256}
+    rng = np.random.default_rng(43)
+    data_dict, batch = _shared_inputs(args, rng)
+    data_dict["lidar_pose"] = torch.zeros((L, 6))
+    torch.manual_seed(47)
+    ref = PointPillarMax(args).eval()
+    _e2e_compare("point_pillar_max", ref, data_dict, batch,
+                 _hypes_for("point_pillar_max", args), rng)
