@@ -1,23 +1,32 @@
 """Lift-Splat-Shoot camera -> BEV encoder (flax, channel-last).
 
 Behavioural twin of models/common_modules/airv2x_encoder.LiftSplatShootEncoder
-(:94-330) + sub_modules/lss_submodule.{CamEncode, BevEncode} +
-utils/camera_utils (frustum / depth-bin helpers):
+(:94-330) + sub_modules/lss_submodule.{CamEncode, CamEncode_Resnet101,
+BevEncode} + utils/camera_utils (frustum / depth-bin helpers):
 
   * frustum: downsampled image-plane grid x LID/UD depth bins;
   * geometry: undo augmentation (post_rots/trans), unproject through the
     intrinsics, rotate/translate into the agent (lidar) frame;
-  * CamEncoder: image trunk -> depth logits (D) + context (C); depth
-    softmax (or ground-truth one-hot) outer-product with context lifts
-    features into the frustum;
+  * CamEncoder: faithful pretrained-architecture trunks —
+    ``camera_encoder: EfficientNet`` runs the EfficientNet-b0 MBConv
+    pyramid + Up-fusion of reduction_5/4(/3) exactly as
+    ``CamEncode.get_eff_features`` (lss_submodule.py:123-153);
+    ``camera_encoder: Resnet101`` runs the truncated resnet101
+    (``CamEncode_Resnet101``, :191-274). Depth distribution is either a
+    softmax over a 1x1 depth head or the ground-truth one-hot binning of
+    the 4th image channel (``get_gt_depth_dist`` :89-121); its outer
+    product with the 1x1 context head lifts features into the frustum;
   * voxel pooling: frustum points quantized to the BEV grid and
     scatter-added (replaces the sort+QuickCumsum autograd trick with a
     single jnp scatter-add — identical result, natively differentiable);
-  * BevEncoder: resnet18-style trunk + upsample fusion back to full BEV.
+  * BevEncoder: resnet18 head (conv1 + layer1-3 + Up(64+256) +
+    upsample-conv head, lss_submodule.py:312-349).
 
-The reference's EfficientNet-B0 trunk relies on downloaded pretrained
-weights; here the trunk is a from-scratch ResNet (camera_encoder config
-values "EfficientNet"/"Resnet101" both map onto it, documented deviation).
+Reference checkpoints for the whole branch convert weight-for-weight
+(utils/torch_convert.convert_cam_encoder) and are parity-tested against
+hand-instantiated torch twins of the trunk architectures
+(tests/test_torch_parity.py — efficientnet_pytorch/torchvision are not in
+this image, so the twins replicate their documented block structure).
 """
 
 from __future__ import annotations
@@ -29,8 +38,16 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from airv2x_tpu.models.nn import BN_EPS, BN_MOMENTUM
-from airv2x_tpu.models.resnet_bev import BasicBlock
+from airv2x_tpu.models.camera.trunks import (
+    EfficientNetB0Features,
+    ResNet101Trunk,
+    TorchBasicBlock,
+    UpBlock,
+    upsample_align_corners,
+    _bn,
+    TORCH_BN_EPS,
+    TORCH_BN_MOMENTUM,
+)
 
 
 def depth_discretization(d_min, d_max, num_bins, mode) -> np.ndarray:
@@ -42,6 +59,30 @@ def depth_discretization(d_min, d_max, num_bins, mode) -> np.ndarray:
         size = 2 * (d_max - d_min) / (num_bins * (1 + num_bins))
         return d_min + size * (np.arange(num_bins) * np.arange(1, num_bins + 1)) / 2
     raise NotImplementedError(mode)
+
+
+def bin_depth_indices(depth, mode, d_min, d_max, num_bins, target: bool):
+    """camera_utils.bin_depths (:247-299): metric depth -> bin index.
+
+    Returns (indices int32, valid mask). In target mode the mask is all
+    ones (the reference clamps without masking); otherwise out-of-range
+    pixels are masked out.
+    """
+    if mode == "UD":
+        size = (d_max - d_min) / num_bins
+        idx = (depth - d_min) / size
+    elif mode == "LID":
+        size = 2 * (d_max - d_min) / (num_bins * (1 + num_bins))
+        idx = -0.5 + 0.5 * jnp.sqrt(1 + 8 * (depth - d_min) / size)
+    else:
+        raise NotImplementedError(mode)
+    valid = (idx >= 0) & (idx < num_bins) & jnp.isfinite(idx)
+    idx = jnp.where(idx < 0, 0.0, idx)
+    idx = jnp.where((idx >= num_bins) | ~jnp.isfinite(idx), num_bins - 1, idx)
+    idx = idx.astype(jnp.int32)
+    if target:
+        return idx, jnp.ones_like(valid)
+    return idx, valid
 
 
 def gen_dx_bx(xbound, ybound, zbound):
@@ -120,119 +161,88 @@ def voxel_pooling(geom, feats, dx, bx, nx):
     return out
 
 
-class _Up(nn.Module):
-    """Upsample + concat-skip + double conv (lss_submodule.Up)."""
-
-    out_c: int
-    scale: int = 2
-    dtype: Any = jnp.float32
-
-    @nn.compact
-    def __call__(self, x, skip, train: bool = False):
-        x = jax.image.resize(
-            x,
-            x.shape[:-3]
-            + (x.shape[-3] * self.scale, x.shape[-2] * self.scale, x.shape[-1]),
-            "bilinear",
-        )
-        x = jnp.concatenate([skip, x], axis=-1)
-        for _ in range(2):
-            x = nn.Conv(self.out_c, (3, 3), padding="SAME", use_bias=False,
-                        dtype=self.dtype)(x)
-            x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
-                             epsilon=BN_EPS, dtype=self.dtype)(x)
-            x = nn.relu(x)
-        return x
-
-
-class CamTrunk(nn.Module):
-    """From-scratch multi-scale image trunk (EfficientNet-B0 stand-in).
-
-    Returns features at /4, /8 and /16 of the input resolution.
-    """
-
-    dtype: Any = jnp.float32
-
-    @nn.compact
-    def __call__(self, x, train: bool = False):
-        x = nn.Conv(32, (3, 3), strides=(2, 2), padding="SAME", use_bias=False,
-                    dtype=self.dtype)(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
-                         epsilon=BN_EPS, dtype=self.dtype)(x)
-        x = nn.relu(x)
-        c4 = BasicBlock(48, stride=2, downsample=True, dtype=self.dtype)(x, train)
-        c8 = BasicBlock(96, stride=2, downsample=True, dtype=self.dtype)(c4, train)
-        c8 = BasicBlock(96, dtype=self.dtype)(c8, train)
-        c16 = BasicBlock(192, stride=2, downsample=True, dtype=self.dtype)(c8, train)
-        c16 = BasicBlock(192, dtype=self.dtype)(c16, train)
-        return c4, c8, c16
-
-
 class CamEncoder(nn.Module):
-    """Trunk -> fused feature -> depth distribution x context
-    (lss_submodule.CamEncode :50-190)."""
+    """Trunk -> depth distribution x context
+    (lss_submodule.CamEncode :50-188 / CamEncode_Resnet101 :191-309)."""
 
     depth_bins: int
     context_c: int
     downsample: int
+    encoder_type: str = "EfficientNet"
     use_gt_depth: bool = False
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, imgs, gt_depth_onehot=None, train: bool = False):
         # imgs: (B*, H, W, 3); returns (B*, fH, fW, D, C), depth logits
-        c4, c8, c16 = CamTrunk(dtype=self.dtype)(imgs, train)
-        feat = _Up(256, scale=2, dtype=self.dtype)(c16, c8, train)  # /8
-        if self.downsample == 4:
-            feat = _Up(256, scale=2, dtype=self.dtype)(feat, c4, train)
+        if self.encoder_type == "Resnet101":
+            feat = ResNet101Trunk(dtype=self.dtype, name="trunk")(imgs, train)
+        elif self.encoder_type == "EfficientNet":
+            red3, red4, red5 = EfficientNetB0Features(
+                dtype=self.dtype, name="trunk"
+            )(imgs, train)
+            feat = UpBlock(256, scale=2, dtype=self.dtype, name="up1")(
+                red5, red4, train
+            )
+            if self.downsample == 8:
+                feat = UpBlock(256, scale=2, dtype=self.dtype, name="up2")(
+                    feat, red3, train
+                )
+        else:
+            raise NotImplementedError(
+                f"camera_encoder {self.encoder_type!r}: the reference supports "
+                "EfficientNet and Resnet101 (airv2x_encoder.py:66-87)"
+            )
 
-        context = nn.Conv(self.context_c, (1, 1), dtype=self.dtype)(feat)
+        context = nn.Conv(self.context_c, (1, 1), dtype=self.dtype,
+                          name="image_head")(feat)
         if self.use_gt_depth and gt_depth_onehot is not None:
             depth = gt_depth_onehot.astype(feat.dtype)  # (B*, fH, fW, D)
             depth_logits = None
         else:
-            depth_logits = nn.Conv(self.depth_bins, (1, 1), dtype=self.dtype)(feat)
+            depth_logits = nn.Conv(self.depth_bins, (1, 1), dtype=self.dtype,
+                                   name="depth_head")(feat)
             depth = jax.nn.softmax(depth_logits, axis=-1)
         lifted = depth[..., :, None] * context[..., None, :]  # (B*, fH, fW, D, C)
         return lifted, depth_logits
 
 
 class BevEncoder(nn.Module):
-    """resnet18-style BEV head (lss_submodule.BevEncode :312-349)."""
+    """resnet18 BEV head (lss_submodule.BevEncode :312-349)."""
 
     out_c: int
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        h, w = x.shape[-3], x.shape[-2]
-        y = nn.Conv(64, (7, 7), strides=(2, 2), padding="SAME", use_bias=False,
-                    dtype=self.dtype)(x)
-        y = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
-                         epsilon=BN_EPS, dtype=self.dtype)(y)
+        y = nn.Conv(64, (7, 7), strides=(2, 2), padding=[(3, 3), (3, 3)],
+                    use_bias=False, dtype=self.dtype, name="conv1")(x)
+        y = _bn(train, self.dtype, TORCH_BN_EPS, TORCH_BN_MOMENTUM, "bn1")(y)
         y = nn.relu(y)
-        x1 = BasicBlock(64, dtype=self.dtype)(y, train)
-        x1 = BasicBlock(64, dtype=self.dtype)(x1, train)
-        y = BasicBlock(128, stride=2, downsample=True, dtype=self.dtype)(x1, train)
-        y = BasicBlock(128, dtype=self.dtype)(y, train)
-        y = BasicBlock(256, stride=2, downsample=True, dtype=self.dtype)(y, train)
-        y = BasicBlock(256, dtype=self.dtype)(y, train)
-        y = _Up(256, scale=4, dtype=self.dtype)(y, x1, train)
-        y = jax.image.resize(
-            y, y.shape[:-3] + (h, w, y.shape[-1]), "bilinear"
-        )
-        y = nn.Conv(128, (3, 3), padding="SAME", use_bias=False, dtype=self.dtype)(y)
-        y = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
-                         epsilon=BN_EPS, dtype=self.dtype)(y)
+        x1 = TorchBasicBlock(64, dtype=self.dtype, name="layer1_0")(y, train)
+        x1 = TorchBasicBlock(64, dtype=self.dtype, name="layer1_1")(x1, train)
+        y = TorchBasicBlock(128, stride=2, downsample=True, dtype=self.dtype,
+                            name="layer2_0")(x1, train)
+        y = TorchBasicBlock(128, dtype=self.dtype, name="layer2_1")(y, train)
+        y = TorchBasicBlock(256, stride=2, downsample=True, dtype=self.dtype,
+                            name="layer3_0")(y, train)
+        y = TorchBasicBlock(256, dtype=self.dtype, name="layer3_1")(y, train)
+        y = UpBlock(256, scale=4, dtype=self.dtype, name="up1")(y, x1, train)
+        # up2: upsample x2 -> conv3x3(128)+bn+relu -> conv1x1(outC)
+        y = upsample_align_corners(y, y.shape[-3] * 2, y.shape[-2] * 2)
+        y = nn.Conv(128, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False,
+                    dtype=self.dtype, name="up2_conv")(y)
+        y = _bn(train, self.dtype, TORCH_BN_EPS, TORCH_BN_MOMENTUM, "up2_bn")(y)
         y = nn.relu(y)
-        return nn.Conv(self.out_c, (1, 1), dtype=self.dtype)(y)
+        return nn.Conv(self.out_c, (1, 1), dtype=self.dtype, name="up2_out")(y)
 
 
 class LSSCameraEncoder(nn.Module):
     """Full camera branch for one agent type: images -> BEV features.
 
     cfg is the per-type ``cam`` config block (grid_conf, data_aug_conf,
-    img_downsample, img_features, bevout_feature, use_depth_gt).
+    img_downsample, img_features, bevout_feature, camera_encoder,
+    use_depth_gt).
     """
 
     cfg: dict
@@ -272,25 +282,26 @@ class LSSCameraEncoder(nn.Module):
         gt_onehot = None
         use_gt = bool(cfg.get("use_depth_gt")) and flat_imgs.shape[-1] > 3
         if use_gt:
-            # 4th channel: metric depth map -> nearest-downsample -> bin onehot
-            ds_rate = cfg["img_downsample"]
-            depth_map = flat_imgs[..., 3]
-            depth_map = depth_map[:, ::ds_rate, ::ds_rate]
-            bins = jnp.asarray(
-                depth_discretization(*grid["ddiscr"], grid["mode"]),
-                jnp.float32,
+            # 4th channel: metric depth, clamped + binned + pixel-center
+            # downsampled exactly as get_gt_depth_dist (:89-121)
+            ds_rate = int(cfg["img_downsample"])
+            d_min, d_max, n_bins = grid["ddiscr"]
+            depth_map = jnp.minimum(flat_imgs[..., 3], float(d_max))
+            bin_idx, valid = bin_depth_indices(
+                depth_map, grid["mode"], d_min, d_max, n_bins, target=train
             )
-            bin_idx = jnp.argmin(
-                jnp.abs(depth_map[..., None] - bins), axis=-1
-            )
-            gt_onehot = jax.nn.one_hot(bin_idx, d)
+            bin_idx = bin_idx[:, ds_rate // 2 :: ds_rate, ds_rate // 2 :: ds_rate]
+            valid = valid[:, ds_rate // 2 :: ds_rate, ds_rate // 2 :: ds_rate]
+            gt_onehot = jax.nn.one_hot(bin_idx, d) * valid[..., None]
 
         lifted, depth_logits = CamEncoder(
             depth_bins=d,
             context_c=int(cfg["img_features"]),
             downsample=int(cfg["img_downsample"]),
+            encoder_type=str(cfg.get("camera_encoder", "EfficientNet")),
             use_gt_depth=use_gt,
             dtype=self.dtype,
+            name="camencode",
         )(rgb, gt_onehot, train)
 
         # (B, N, D, fH, fW, C)
@@ -298,4 +309,6 @@ class LSSCameraEncoder(nn.Module):
         lifted = jnp.moveaxis(lifted, 4, 2)
 
         bev = voxel_pooling(geom, lifted, jnp.asarray(dx), jnp.asarray(bx), nx)
-        return BevEncoder(int(cfg["bevout_feature"]), dtype=self.dtype)(bev, train)
+        return BevEncoder(
+            int(cfg["bevout_feature"]), dtype=self.dtype, name="bevencode"
+        )(bev, train)

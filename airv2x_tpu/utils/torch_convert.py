@@ -298,17 +298,130 @@ def convert_hetero_encoder(ts: TorchState, asg: Assigner, args: dict):
     pre = args.get("preprocess") or {}
     fast_cfg = bool((pre.get("args") or {}).get("fast_pillars", True))
     for t, m, scope in _encoder_scopes(args):
-        if m != "lidar":
-            continue  # camera LSS conversion handled separately when present
-        nf = args[t]["lidar"]["pillar_vfe"]["num_filters"]
-        fast = fast_cfg and len(nf) == 1
-        convert_pillar_vfe(
-            ts.sub(scope),
-            asg,
-            ("encoder", f"{t}_pillar_vfe"),
-            fast=fast,
-            num_layers=len(nf),
+        if m == "lidar":
+            nf = args[t]["lidar"]["pillar_vfe"]["num_filters"]
+            fast = fast_cfg and len(nf) == 1
+            convert_pillar_vfe(
+                ts.sub(scope),
+                asg,
+                ("encoder", f"{t}_pillar_vfe"),
+                fast=fast,
+                num_layers=len(nf),
+            )
+        elif m == "cam":
+            convert_lss_encoder(
+                ts.sub(scope), asg, ("encoder", f"{t}_lss"), args[t]["cam"]
+            )
+
+
+# --------------------------------------------------------------------------
+# camera branch (LSS): EfficientNet-b0 / truncated resnet101 trunks,
+# resnet18 BevEncode (sub_modules/lss_submodule.py; flax twins in
+# models/camera/{trunks,lss}.py)
+
+EFFNET_B0_EXPANDS = (
+    # per-block expand ratios, flattened from the b0 stage table
+    [1] + [6] * 15
+)
+
+
+def convert_mbconv(ts: TorchState, asg: Assigner, base: tuple, *, expand: int):
+    if expand != 1:
+        convert_conv(ts, asg, base + ("expand_conv",), scope="_expand_conv")
+        convert_bn(ts, asg, base + ("bn0",), scope="_bn0")
+    convert_conv(ts, asg, base + ("depthwise_conv",), scope="_depthwise_conv")
+    convert_bn(ts, asg, base + ("bn1",), scope="_bn1")
+    convert_conv(ts, asg, base + ("se_reduce",), scope="_se_reduce")
+    convert_conv(ts, asg, base + ("se_expand",), scope="_se_expand")
+    convert_conv(ts, asg, base + ("project_conv",), scope="_project_conv")
+    convert_bn(ts, asg, base + ("bn2",), scope="_bn2")
+
+
+def convert_efficientnet_features(ts: TorchState, asg: Assigner, base: tuple):
+    """efficientnet_pytorch trunk -> EfficientNetB0Features. The classifier
+    head tensors (_conv_head/_bn1/_fc, unused by CamEncode.get_eff_features)
+    are consumed without mapping."""
+    convert_conv(ts, asg, base + ("conv_stem",), scope="_conv_stem")
+    convert_bn(ts, asg, base + ("bn0",), scope="_bn0")
+    for i, expand in enumerate(EFFNET_B0_EXPANDS):
+        convert_mbconv(
+            ts.sub(f"_blocks.{i}"), asg, base + (f"block{i}",), expand=expand
         )
+    for key in list(ts.keys()):
+        rel = key[len(ts.prefix):]
+        if rel.split(".")[0] in ("_conv_head", "_bn1", "_fc"):
+            ts.get(rel)
+
+
+def convert_up_block(ts: TorchState, asg: Assigner, base: tuple):
+    """lss_submodule.Up -> UpBlock (conv Sequential indices 0/1/3/4)."""
+    convert_conv(ts, asg, base + ("conv0",), scope="conv.0")
+    convert_bn(ts, asg, base + ("bn0",), scope="conv.1")
+    convert_conv(ts, asg, base + ("conv1",), scope="conv.3")
+    convert_bn(ts, asg, base + ("bn1",), scope="conv.4")
+
+
+def _convert_torch_resblock(ts: TorchState, asg: Assigner, base: tuple,
+                            convs: int):
+    for i in range(1, convs + 1):
+        convert_conv(ts, asg, base + (f"conv{i}",), scope=f"conv{i}")
+        convert_bn(ts, asg, base + (f"bn{i}",), scope=f"bn{i}")
+    if "downsample.0.weight" in ts:
+        convert_conv(ts, asg, base + ("ds_conv",), scope="downsample.0")
+        convert_bn(ts, asg, base + ("ds_bn",), scope="downsample.1")
+
+
+def convert_resnet101_trunk(ts: TorchState, asg: Assigner, base: tuple):
+    """Truncated torchvision resnet101 (conv1..layer2) -> ResNet101Trunk."""
+    convert_conv(ts, asg, base + ("conv1",), scope="conv1")
+    convert_bn(ts, asg, base + ("bn1",), scope="bn1")
+    for i in range(3):
+        _convert_torch_resblock(
+            ts.sub(f"layer1.{i}"), asg, base + (f"layer1_{i}",), convs=3
+        )
+    for i in range(4):
+        _convert_torch_resblock(
+            ts.sub(f"layer2.{i}"), asg, base + (f"layer2_{i}",), convs=3
+        )
+
+
+def convert_bevencode(ts: TorchState, asg: Assigner, base: tuple):
+    """lss_submodule.BevEncode -> BevEncoder."""
+    convert_conv(ts, asg, base + ("conv1",), scope="conv1")
+    convert_bn(ts, asg, base + ("bn1",), scope="bn1")
+    for layer in (1, 2, 3):
+        for i in range(2):
+            _convert_torch_resblock(
+                ts.sub(f"layer{layer}.{i}"), asg,
+                base + (f"layer{layer}_{i}",), convs=2,
+            )
+    convert_up_block(ts.sub("up1"), asg, base + ("up1",))
+    convert_conv(ts, asg, base + ("up2_conv",), scope="up2.1")
+    convert_bn(ts, asg, base + ("up2_bn",), scope="up2.2")
+    convert_conv(ts, asg, base + ("up2_out",), scope="up2.4")
+
+
+def convert_cam_encoder(ts: TorchState, asg: Assigner, base: tuple,
+                        cam_cfg: dict):
+    """lss_submodule.CamEncode / CamEncode_Resnet101 -> CamEncoder."""
+    enc_type = str(cam_cfg.get("camera_encoder", "EfficientNet"))
+    if enc_type == "Resnet101":
+        convert_resnet101_trunk(ts, asg, base + ("trunk",))
+    else:
+        convert_efficientnet_features(ts.sub("trunk"), asg, base + ("trunk",))
+        convert_up_block(ts.sub("up1"), asg, base + ("up1",))
+        if int(cam_cfg.get("img_downsample", 16)) == 8:
+            convert_up_block(ts.sub("up2"), asg, base + ("up2",))
+    convert_conv(ts, asg, base + ("image_head",), scope="image_head")
+    if "depth_head.weight" in ts:
+        convert_conv(ts, asg, base + ("depth_head",), scope="depth_head")
+
+
+def convert_lss_encoder(ts: TorchState, asg: Assigner, base: tuple,
+                        cam_cfg: dict):
+    """airv2x_encoder.LiftSplatShootEncoder -> LSSCameraEncoder."""
+    convert_cam_encoder(ts.sub("camencode"), asg, base + ("camencode",), cam_cfg)
+    convert_bevencode(ts.sub("bevencode"), asg, base + ("bevencode",))
 
 
 # --------------------------------------------------------------------------
