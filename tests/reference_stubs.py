@@ -181,3 +181,89 @@ def install_reference_stubs():
     bo = types.ModuleType("opencood.utils.box_overlaps")
     bo.bbox_overlaps = bbox_overlaps_np
     sys.modules.setdefault("opencood.utils.box_overlaps", bo)
+
+
+def install_camera_backends():
+    """Give the efficientnet_pytorch / torchvision stubs REAL minimal
+    backends (tests/torch_camera_twins.py) so the reference's actual LSS
+    camera-encoder code (airv2x_encoder.py, lss_submodule.py) runs on CPU.
+
+    Must also re-bind the names inside already-imported reference modules:
+    the stub modules install permissive dummies on first import, and
+    lss_submodule binds ``EfficientNet``/``resnet18``/``resnet101`` as
+    module globals at import time."""
+    install_reference_stubs()
+
+    from tests import torch_camera_twins as tw
+
+    class _EffNet:
+        @staticmethod
+        def from_pretrained(name):
+            assert name == "efficientnet-b0", name
+            return tw.EfficientNetB0Twin()
+
+    import torch.nn as nn
+
+    def resnet18(pretrained=False, zero_init_residual=False):
+        m = nn.Module()
+        m.bn1 = nn.BatchNorm2d(64)
+        m.relu = nn.ReLU(inplace=True)
+        m.layer1 = tw._basic_layer(64, 64, 2, 1)
+        m.layer2 = tw._basic_layer(64, 128, 2, 2)
+        m.layer3 = tw._basic_layer(128, 256, 2, 2)
+        return m
+
+    def resnet101(pretrained=False, zero_init_residual=False):
+        m = nn.Module()
+        m.conv1 = nn.Conv2d(3, 64, 7, stride=2, padding=3, bias=False)
+        m.bn1 = nn.BatchNorm2d(64)
+        m.maxpool = nn.MaxPool2d(3, stride=2, padding=1)
+        m.layer1 = tw._bottleneck_layer(64, 64, 3, 1)
+        m.layer2 = tw._bottleneck_layer(256, 128, 4, 2)
+        return m
+
+    sys.modules["efficientnet_pytorch"].EfficientNet = _EffNet
+    tvr = sys.modules["torchvision.models.resnet"]
+    tvr.resnet18, tvr.resnet101 = resnet18, resnet101
+    for name in (
+        "opencood.models.sub_modules.lss_submodule",
+        "opencood.models.common_modules.airv2x_encoder",
+    ):
+        mod = sys.modules.get(name)
+        if mod is not None:
+            mod.EfficientNet = _EffNet
+            if hasattr(mod, "resnet18"):
+                mod.resnet18, mod.resnet101 = resnet18, resnet101
+
+
+class patched_cuda_to_cpu:
+    """Context manager mapping ``.to(cuda)`` / ``.cuda()`` to CPU no-ops so
+    the reference's GPU-pinned constants (airv2x_encoder.py:47-61) build on
+    this CUDA-less host."""
+
+    def __enter__(self):
+        import torch
+
+        self._to, self._cuda = torch.Tensor.to, torch.Tensor.cuda
+
+        def _map(a):
+            if isinstance(a, (str, torch.device)) and "cuda" in str(a):
+                return "cpu"
+            return a
+
+        orig = self._to
+
+        def to(tensor, *args, **kwargs):
+            args = tuple(_map(a) for a in args)
+            kwargs = {k: _map(v) for k, v in kwargs.items()}
+            return orig(tensor, *args, **kwargs)
+
+        torch.Tensor.to = to
+        torch.Tensor.cuda = lambda tensor, *a, **k: tensor
+        return self
+
+    def __exit__(self, *exc):
+        import torch
+
+        torch.Tensor.to, torch.Tensor.cuda = self._to, self._cuda
+        return False

@@ -11,6 +11,8 @@ import pytest
 from airv2x_tpu.config import load_yaml
 from airv2x_tpu.models.camera import lss
 
+pytestmark = pytest.mark.slow
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 

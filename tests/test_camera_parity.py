@@ -190,6 +190,102 @@ def test_full_lss_encoder_parity(rng, torch_seed, lss_cfg):
                  what="LSS encoder e2e")
 
 
+def test_hetero_camera_e2e_parity(rng, torch_seed):
+    """Camera+LiDAR heterogeneous where2comm: the reference's ACTUAL
+    Airv2xWhere2com with LSS camera branches (vehicle lidar+cam, rsu/drone
+    cam-only) vs the flax twin with a converted checkpoint. Exercises the
+    real airv2x_encoder.py / lss_submodule.py code via the functional
+    camera backends (tests/reference_stubs.install_camera_backends)."""
+    import copy
+
+    from tests.reference_stubs import (
+        install_camera_backends,
+        patched_cuda_to_cpu,
+    )
+
+    install_camera_backends()
+
+    from tests.test_torch_parity import _build_e2e_inputs, _parity_hypes
+
+    cam_cfg = {
+        "grid_conf": {
+            "xbound": [-6.4, 6.4, 0.4],
+            "ybound": [-6.4, 6.4, 0.4],
+            "zbound": [-10, 10, 20.0],
+            "ddiscr": [2, 50, 6],
+            "mode": "LID",
+        },
+        "data_aug_conf": {"final_dim": [64, 96]},
+        "img_downsample": 8,
+        "img_features": 12,
+        "bevout_feature": 64,
+        "camera_encoder": "EfficientNet",
+        "use_depth_gt": True,
+        "depth_supervision": False,
+    }
+    hypes = copy.deepcopy(_parity_hypes())
+    args = hypes["model"]["args"]
+    args["vehicle"]["modalities"] = ["lidar", "cam"]
+    args["rsu"]["modalities"] = ["cam"]
+    args["drone"]["modalities"] = ["cam"]
+    for t in ("vehicle", "rsu", "drone"):
+        args[t]["cam"] = copy.deepcopy(cam_cfg)
+    args["active_sensors"] = ["lidar", "cam"]
+
+    data_dict, batch = _build_e2e_inputs(hypes, rng)
+
+    def cam_block(n_agents, ncam=1, hw=(64, 96)):
+        ins = _cam_inputs(rng, b=n_agents, n=ncam, hw=hw)
+        return {k: torch.tensor(v) for k, v in ins.items()}
+
+    # repo batch contract: cam_{t} arrays span ALL slots (vehicle 0:2,
+    # rsu 2:3, drone 3:4); the model slices each type's range itself.
+    slot_ranges = {"vehicle": (0, 2), "rsu": (2, 3), "drone": (3, 4)}
+    total_slots = 4
+    for t, (lo, hi) in slot_ranges.items():
+        data_dict[t]["batch_merged_cam_inputs"] = cam_block(hi - lo)
+        tt = data_dict[t]["batch_merged_cam_inputs"]
+        full = {}
+        for k in tt:
+            v = tt[k].numpy()
+            if k == "imgs":
+                v = np.moveaxis(v, 2, -1)
+            slot_v = np.zeros((total_slots,) + v.shape[1:], v.dtype)
+            slot_v[lo:hi] = v
+            full[k] = jnp.asarray(slot_v)[None]
+        batch[f"cam_{t}"] = full
+
+    from opencood.models.airv2x_where2com import Airv2xWhere2com
+
+    from airv2x_tpu.models import build_model
+
+    torch.manual_seed(5)
+    targs = dict(args)
+    targs["where2com_fusion"] = dict(args["where2com_fusion"])
+    with patched_cuda_to_cpu():
+        ref = Airv2xWhere2com(targs).eval()
+        randomize_batchnorms(ref, rng)
+        with torch.no_grad():
+            out_ref = ref(data_dict)
+
+    model = build_model(hypes)
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "comm": jax.random.PRNGKey(1)},
+        batch,
+        train=False,
+    )
+    asg = tc.convert_state_dict(ref.state_dict(), variables, hypes)
+    assert not asg.skipped, asg.skipped
+    assert asg.torch_leftovers == [], asg.torch_leftovers
+
+    out = model.apply(asg.variables, batch, train=False)
+    for key, ref_key in (("psm", "psm"), ("rm", "rm"), ("obj", "obj")):
+        assert_close(
+            nchw(out[key]), out_ref[ref_key].numpy(), atol=2e-3, rtol=2e-3,
+            what=f"hetero-cam e2e {key}",
+        )
+
+
 def test_gt_depth_binning_parity(rng, lss_cfg):
     """bin_depth_indices vs the reference bin_depths in both target modes."""
     depth = rng.uniform(-5, 80, (3, 32, 40)).astype(np.float32)

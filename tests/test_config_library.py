@@ -21,6 +21,8 @@ from airv2x_tpu.loss import build_loss
 from airv2x_tpu.models import build_model
 from airv2x_tpu.models.base import SlotLayout
 
+pytestmark = pytest.mark.slow
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 ALL_YAMLS = sorted(
     os.path.relpath(p, os.path.join(REPO, "hypes_yaml"))

@@ -74,6 +74,7 @@ def test_forward_train_mode_runs(setup):
     assert np.isfinite(np.asarray(out["rm"])).all()
 
 
+@pytest.mark.slow
 def test_loss_finite_and_grads(setup):
     hypes, model, layout, anchors, batch, gt, variables = setup
     loss_fn = build_loss(hypes)

@@ -26,6 +26,8 @@ import torch  # noqa: E402
 from airv2x_tpu.models import build_model  # noqa: E402
 from airv2x_tpu.utils.torch_convert import CONVERTERS  # noqa: E402
 
+pytestmark = pytest.mark.slow
+
 GRID = 64  # 25.6 / 0.4
 
 

@@ -10,6 +10,7 @@ attention fusion semantics (_PerStageFusionBase) are numerically right.
 import sys
 
 import numpy as np
+import pytest
 
 sys.path.insert(0, "/root/repo")
 
@@ -24,6 +25,8 @@ import torch  # noqa: E402
 from airv2x_tpu.models import build_model  # noqa: E402
 from airv2x_tpu.utils.torch_convert import CONVERTERS  # noqa: E402
 from tests.test_torch_parity import randomize_batchnorms  # noqa: E402
+
+pytestmark = pytest.mark.slow
 
 GRID = 32
 L = 2

@@ -13,6 +13,8 @@ from airv2x_tpu.data.synthetic import make_batch
 from airv2x_tpu.models import MODEL_REGISTRY, build_model
 from airv2x_tpu.models.base import SlotLayout
 
+pytestmark = pytest.mark.slow
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 

@@ -25,6 +25,8 @@ from airv2x_tpu.parallel.train import (
 )
 from tests.fixture_utils import make_fixture
 
+pytestmark = pytest.mark.slow
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 

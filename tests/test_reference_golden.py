@@ -25,6 +25,8 @@ install_reference_stubs()
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
+pytestmark = pytest.mark.slow
+
 jax.config.update("jax_default_matmul_precision", "highest")
 
 ANCHOR_PARAMS = {

@@ -28,6 +28,8 @@ import jax.numpy as jnp  # noqa: E402
 
 from airv2x_tpu.utils import torch_convert as tc  # noqa: E402
 
+pytestmark = pytest.mark.slow
+
 jax.config.update("jax_default_matmul_precision", "highest")
 
 
