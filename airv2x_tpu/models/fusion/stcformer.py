@@ -1,22 +1,23 @@
-"""How2comm STCFormer fusion: decoupled deformable collaboration + temporal
-attention (twin of how2comm_modules/stcformer.py and
-how2comm_deformable_transformer.py:430-524).
+"""How2comm STCFormer fusion (faithful flax twin of
+how2comm_modules/stcformer.py + the deformable query refinement of
+how2comm_deformable_transformer.py:430-524 via fusion/msda.py).
 
-Pipeline per scale:
-  * Decoupling (:96-130): split neighbour features into *exclusive*
-    ((1-ego_conf)·conf_n gated) and *common* (ego_conf·conf_n gated) parts.
-  * TemporalAttention (:25-77): ego history frames (+time embedding) fused
-    by per-pixel attention with channel-pooled temporal key/value gates.
-  * Deformable query refinement (:430-524): the top-K most confident BEV
-    cells become queries; each query deformably samples every agent's map
-    (n_points per head per agent) and the refined features are scattered
-    back into the ego map. Exclusive branch uses 9 points, common 3.
+Pipeline per BEV scale (STCFormer.forward :148-205):
+  * Decoupling (:96-130): split collaborator features into *exclusive*
+    ((1-ego_conf)*conf_n gated) and *common* (ego_conf*conf_n gated) parts;
+    the map lists carry the ego confidence at slot 0.
+  * TemporalAttention (:25-77): ego current + all (warped) history maps,
+    time-embedded, fused by per-pixel attention whose key/value are gated
+    by globally pooled per-frame 1x1 Conv1d projections. NOTE the
+    reference scales scores by sqrt(C) (the module is constructed with the
+    *feature* dim) even though q/k live in 2C — preserved.
+  * Deformable query refinement: the temporal ego + gated collaborator
+    maps are refined by top-K query deformable attention (exclusive branch
+    9 sampling points, common branch 3).
   * LateFusion (:79-94): 1-channel gates softmaxed over the two branches.
 
-TPU-first choices: the reference's dynamic ``max(#conf>thres, 500)`` query
-count becomes a static ``num_queries`` (500); sampling is the shared
-bilinear gather used by the DSA adapter; all loops are over static heads /
-levels so XLA sees fixed shapes.
+The reference's per-level ``nn.LayerNorm([C, H, W])`` is constructed but
+never used in forward — no flax counterpart (the converter consumes it).
 """
 
 from __future__ import annotations
@@ -27,195 +28,150 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from airv2x_tpu.models.fusion.adapter import _bilinear_sample_points
+from airv2x_tpu.models.fusion.msda import DeformableQueryRefine
 
 
 class Decoupling(nn.Module):
-    """stcformer.py:96-130 — exclusive/common split of neighbour features."""
+    """stcformer.py:96-130 — exclusive/common split of collaborators."""
 
     exclusive_thre: float = 0.01
     common_thre: float = 0.01
 
     def __call__(self, feat, conf):
-        """feat (B, L, H, W, C), conf (B, L, H, W, 1) sigmoid confidences ->
-        (exclusive, common, exclusive_map, common_map); slot 0 (ego) passes
-        its own confidence through both maps unchanged."""
+        """feat (B, L, H, W, C), conf (B, L, H, W, 1) -> (exclusive
+        (B, L-1, ...), common (B, L-1, ...), exclusive_map (B, L, ...),
+        common_map (B, L, ...)); maps carry ego confidence at slot 0."""
         ego_conf = conf[:, :1]
-        exc_map = (1.0 - ego_conf) * conf
-        com_map = ego_conf * conf
-        exc_map = exc_map.at[:, 0].set(ego_conf[:, 0])
-        com_map = com_map.at[:, 0].set(ego_conf[:, 0])
-        exc = feat * (exc_map > self.exclusive_thre).astype(feat.dtype)
-        com = feat * (com_map > self.common_thre).astype(feat.dtype)
-        exc = exc.at[:, 0].set(feat[:, 0])
-        com = com.at[:, 0].set(feat[:, 0])
+        exc_map_n = (1.0 - ego_conf) * conf[:, 1:]
+        com_map_n = ego_conf * conf[:, 1:]
+        exc = feat[:, 1:] * (exc_map_n > self.exclusive_thre).astype(feat.dtype)
+        com = feat[:, 1:] * (com_map_n > self.common_thre).astype(feat.dtype)
+        exc_map = jnp.concatenate([ego_conf, exc_map_n], axis=1)
+        com_map = jnp.concatenate([ego_conf, com_map_n], axis=1)
         return exc, com, exc_map, com_map
 
 
 class TemporalAttention(nn.Module):
-    """stcformer.py:25-77 — ego-query attention over history frames with
-    globally pooled temporal key/value modulation."""
+    """stcformer.py:25-77."""
 
     channels: int
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, hist):
-        """hist (B, T, H, W, C) with index 0 = current ego -> (B, H, W, C)."""
+    def __call__(self, hist, frame_mask=None):
+        """hist (B, T, H, W, C) with index 0 = current ego -> (B, H, W, C).
+
+        frame_mask (B, T): the reference passes only the *present* agents'
+        history frames (its ragged list is unpadded,
+        how2comm_deformable.py:226-238); masking the attention scores of
+        absent static slots reproduces that softmax exactly."""
         b, t, h, w, c = hist.shape
         hd = 2 * self.channels
-        q = nn.Conv(hd, (3, 3), padding="SAME", dtype=self.dtype)(hist[:, 0])
-        k = nn.Conv(hd, (3, 3), padding="SAME", dtype=self.dtype)(
-            hist.reshape(b * t, h, w, c)
+        flat = hist.reshape(b * t, h, w, c)
+        q = nn.Conv(hd, (3, 3), padding=[(1, 1), (1, 1)], dtype=self.dtype,
+                    name="conv_query")(hist[:, 0])
+        k = nn.Conv(hd, (3, 3), padding=[(1, 1), (1, 1)], dtype=self.dtype,
+                    name="conv_key")(flat).reshape(b, t, h, w, hd)
+        v = nn.Conv(hd, (3, 3), padding=[(1, 1), (1, 1)], dtype=self.dtype,
+                    name="conv_value")(flat).reshape(b, t, h, w, hd)
+
+        # AdaptiveAvgPool -> Conv1d(k=1) gates, broadcast per frame
+        k_gate = nn.Dense(hd, dtype=self.dtype, name="conv_temporal_key")(
+            k.mean(axis=(2, 3))
         )
-        v = nn.Conv(hd, (3, 3), padding="SAME", dtype=self.dtype)(
-            hist.reshape(b * t, h, w, c)
+        v_gate = nn.Dense(hd, dtype=self.dtype, name="conv_temporal_value")(
+            v.mean(axis=(2, 3))
         )
-        # channel-pooled temporal gates (the reference's AdaptiveAvgPool +
-        # 1x1 Conv1d over frames)
-        k_avg = k.reshape(b, t, h * w, hd).mean(axis=2)
-        v_avg = v.reshape(b, t, h * w, hd).mean(axis=2)
-        k_gate = nn.Dense(hd, dtype=self.dtype, name="temporal_key")(k_avg)
-        v_gate = nn.Dense(hd, dtype=self.dtype, name="temporal_value")(v_avg)
-        k = k.reshape(b, t, h, w, hd) * k_gate[:, :, None, None]
-        v = v.reshape(b, t, h, w, hd) * v_gate[:, :, None, None]
+        k = k * k_gate[:, :, None, None]
+        v = v * v_gate[:, :, None, None]
 
-        score = jnp.einsum("bhwc,bthwc->bthw", q, k) / jnp.sqrt(
-            jnp.asarray(hd, jnp.float32)
-        ).astype(q.dtype)
-        attn = jax.nn.softmax(score, axis=1)
-        out = jnp.einsum("bthw,bthwc->bhwc", attn, v)
-        return nn.Conv(self.channels, (3, 3), padding="SAME", dtype=self.dtype)(out)
-
-
-class DeformableQueryRefine(nn.Module):
-    """how2comm_deformable_transformer.py:430-524 — top-K confident cells
-    deformably attend over all agents' maps, refined features scattered back
-    into the ego map."""
-
-    channels: int
-    num_queries: int = 500
-    heads: int = 8
-    n_points: int = 4
-    mlp_dim: int = 256
-    dtype: Any = jnp.float32
-
-    @nn.compact
-    def __call__(self, feats, conf_maps):
-        """feats (B, L, H, W, C); conf_maps (B, L, H, W, 1) -> (B, H, W, C)."""
-        b, l, h, w, c = feats.shape
-        nh, npt, nq = self.heads, self.n_points, self.num_queries
-        dh = c // nh
-
-        # query selection: summed confidence over agents (:463-472)
-        score = conf_maps.sum(axis=1)[..., 0].reshape(b, h * w)
-        _, order = jax.lax.top_k(score, nq)  # (B, nq)
-
-        ego = feats[:, 0].reshape(b, h * w, c)
-        queries = jnp.take_along_axis(ego, order[..., None], axis=1)  # (B,nq,C)
-
-        # normalized cell centers -> learned positional embedding (:484-488)
-        y_coor = (order // w).astype(jnp.float32) / h
-        x_coor = (order % w).astype(jnp.float32) / w
-        pos = jnp.stack([x_coor, y_coor], axis=-1)
-        q = queries + nn.Dense(c, dtype=self.dtype, name="pos_embedding")(
-            pos.astype(self.dtype)
+        # per-pixel attention: query (B, HW, 1, hd) x key (B, HW, T, hd);
+        # the reference divides by sqrt(feature_dim) == sqrt(C)
+        qf = q.reshape(b, h * w, 1, hd)
+        kf = k.transpose(0, 2, 3, 1, 4).reshape(b, h * w, t, hd)
+        vf = v.transpose(0, 2, 3, 1, 4).reshape(b, h * w, t, hd)
+        score = jnp.einsum("bpqd,bptd->bpqt", qf, kf) / jnp.sqrt(
+            jnp.asarray(self.channels, jnp.float32)
         )
-
-        # deformable attention over L agent levels
-        offsets = nn.Dense(
-            nh * l * npt * 2, kernel_init=nn.initializers.zeros, dtype=self.dtype
-        )(q).reshape(b, nq, nh, l, npt, 2)
-        weights = nn.Dense(
-            nh * l * npt, kernel_init=nn.initializers.zeros, dtype=self.dtype
-        )(q).reshape(b, nq, nh, l * npt)
-        weights = jax.nn.softmax(weights, axis=-1).reshape(b, nq, nh, l, npt)
-
-        value = nn.Dense(c, dtype=self.dtype, name="value_proj")(feats)
-        value = value.reshape(b, l, h, w, nh, dh)
-        norm = jnp.asarray([w, h], self.dtype)
-        ref = pos[:, :, None, None, None, :]  # (B, nq, 1, 1, 1, 2)
-        locs = ref + offsets / norm  # (B, nq, nh, l, npt, 2)
-
-        per_head = []
-        for head in range(nh):
-            per_level = []
-            for lev in range(l):
-                s = _bilinear_sample_points(
-                    value[:, lev, :, :, head, :], locs[:, :, head, lev]
-                )  # (B, nq, npt, dh)
-                per_level.append(
-                    jnp.sum(s * weights[:, :, head, lev, :, None], axis=2)
-                )
-            per_head.append(sum(per_level))
-        attended = jnp.concatenate(per_head, axis=-1)  # (B, nq, C)
-        out = nn.Dense(c, dtype=self.dtype, name="output_proj")(attended)
-        q = queries + out
-
-        # FFN (Deform_Transformer mlp block)
-        y = nn.LayerNorm(dtype=self.dtype)(q)
-        y = nn.Dense(self.mlp_dim, dtype=self.dtype)(y)
-        y = nn.gelu(y)
-        y = nn.Dense(c, dtype=self.dtype)(y)
-        q = q + y
-
-        # scatter refined queries back into the ego map (:519-523)
-        refined = jax.vmap(lambda e, o, v: e.at[o].set(v))(ego, order, q)
-        return refined.reshape(b, h, w, c)
+        if frame_mask is not None:
+            score = jnp.where(
+                frame_mask[:, None, None, :], score, jnp.asarray(-1e9, score.dtype)
+            )
+        attn = jax.nn.softmax(score, axis=-1)
+        ctx = jnp.einsum("bpqt,bptd->bpqd", attn, vf).reshape(b, h, w, hd)
+        return nn.Conv(self.channels, (3, 3), padding=[(1, 1), (1, 1)],
+                       dtype=self.dtype, name="conv_feat")(ctx)
 
 
 class LateFusion(nn.Module):
-    """stcformer.py:79-94 — gated blend of exclusive/common branches."""
+    """stcformer.py:79-94 — softmax of two 1-channel gates."""
 
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, exc, com):
-        g1 = nn.Conv(1, (3, 3), padding="SAME", dtype=self.dtype)(exc)
-        g2 = nn.Conv(1, (3, 3), padding="SAME", dtype=self.dtype)(com)
-        wts = jax.nn.softmax(jnp.concatenate([g1, g2], axis=-1), axis=-1)
-        return wts[..., :1] * exc + wts[..., 1:] * com
+        w1 = nn.Conv(1, (3, 3), padding=[(1, 1), (1, 1)], dtype=self.dtype,
+                     name="gate_1")(exc)
+        w2 = nn.Conv(1, (3, 3), padding=[(1, 1), (1, 1)], dtype=self.dtype,
+                     name="gate_2")(com)
+        w = jax.nn.softmax(jnp.concatenate([w1, w2], axis=-1), axis=-1)
+        return w[..., :1] * exc + w[..., 1:] * com
 
 
-class STCFusion(nn.Module):
-    """stcformer.py STCFormer (:148-205): decoupling + temporal attention +
-    dual deformable encoders + late fusion, single scale."""
+class STCFormer(nn.Module):
+    """stcformer.py:148-205 — one BEV scale of the How2comm fusion."""
 
     channels: int
+    level: int
     num_queries: int = 500
+    max_cav: int = 5
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, cur_feats, conf, ego_hist, train: bool = False):
-        """cur_feats (B, L, H, W, C) current-frame agent features;
-        conf (B, L, H, W, 1) sigmoid confidences; ego_hist (B, T, H, W, C)
-        ego history (index 0 = current) -> (B, H, W, C)."""
-        exc, com, exc_map, com_map = Decoupling()(cur_feats, conf)
+    def __call__(self, neighbor_feat, neighbor_conf, history_feat,
+                 agent_mask=None, train: bool = False):
+        """neighbor_feat (B, L, h, w, C) warped+padded slot maps (ego 0);
+        neighbor_conf (B, L, H0, W0, 1) level-0 confidence maps;
+        history_feat (B, L, h, w, C) warped history slot maps;
+        agent_mask (B, L) gates the history frames in temporal attention.
+        Returns (fused ego (B, h, w, C), [temporal, exclusive, common])."""
+        if self.level > 0:
+            s = 2**self.level  # F.interpolate(scale=0.5/0.25), nearest
+            neighbor_conf = neighbor_conf[:, :, ::s, ::s]
+        exc, com, exc_map, com_map = Decoupling()(neighbor_feat, neighbor_conf)
 
-        t = ego_hist.shape[1]
+        b = neighbor_feat.shape[0]
+        ego_cur = neighbor_feat[:, :1]
+        hist = jnp.concatenate([ego_cur, history_feat], axis=1)  # (B, 1+L,...)
+
         delay = jnp.concatenate(
-            [jnp.zeros((1,), self.dtype), -jnp.ones((t - 1,), self.dtype)]
+            [jnp.zeros((1,), jnp.float32),
+             -jnp.ones((hist.shape[1] - 1,), jnp.float32)]
         )
-        time_embed = nn.Dense(self.channels, dtype=self.dtype, name="time_embedding")(
-            delay[:, None]
-        )
-        hist = ego_hist + time_embed[None, :, None, None, :]
-        ego = TemporalAttention(channels=self.channels, dtype=self.dtype)(hist)
+        time_embed = nn.Dense(self.channels, dtype=self.dtype,
+                              name="time_embedding")(delay[:, None])
+        hist = hist + time_embed[None, :, None, None, :]
 
-        exc = exc.at[:, 0].set(ego)
-        com = com.at[:, 0].set(ego)
+        frame_mask = None
+        if agent_mask is not None:
+            frame_mask = jnp.concatenate(
+                [jnp.ones((b, 1), bool), agent_mask.astype(bool)], axis=1
+            )
+        ego = TemporalAttention(self.channels, dtype=self.dtype,
+                                name="temporal_self_attention")(hist, frame_mask)
+        temporal_feat = ego
+
+        exc_in = jnp.concatenate([ego[:, None], exc], axis=1)
+        com_in = jnp.concatenate([ego[:, None], com], axis=1)
         ego_exc = DeformableQueryRefine(
-            channels=self.channels,
-            num_queries=self.num_queries,
-            n_points=9,
-            dtype=self.dtype,
-            name="exclusive_encoder",
-        )(exc, exc_map)
+            channels=self.channels, n_points=9, num_queries=self.num_queries,
+            max_cav=self.max_cav, dtype=self.dtype, name="exclusive_encoder",
+        )(exc_in, exc_map)
         ego_com = DeformableQueryRefine(
-            channels=self.channels,
-            num_queries=self.num_queries,
-            n_points=3,
-            dtype=self.dtype,
-            name="common_encoder",
-        )(com, com_map)
-        return LateFusion(dtype=self.dtype)(ego_exc, ego_com)
+            channels=self.channels, n_points=3, num_queries=self.num_queries,
+            max_cav=self.max_cav, dtype=self.dtype, name="common_encoder",
+        )(com_in, com_map)
+
+        fused = LateFusion(dtype=self.dtype, name="late_fusion")(ego_exc,
+                                                                 ego_com)
+        return fused, [temporal_feat, ego_exc, ego_com]

@@ -11,9 +11,8 @@ the reference's K-frame dataset lists
 Structure (point_pillar_scope.py:147+): per-frame encoding + backbone
 (frames share weights), history ego features warped to the current frame
 and fused by a ConvLSTM, agent attention fusion on the current frame, and a
-gated combination. How2comm's STCFormer refinement (decoupling + temporal
-attention + deformable query refinement, stcformer.py) is selected with
-``temporal_fusion.method: stcformer``.
+gated combination. The faithful How2comm model (flow compensation + mutual
+communication + STCFormer) lives in how2comm_model.py.
 """
 
 from __future__ import annotations
@@ -22,7 +21,6 @@ import jax
 import jax.numpy as jnp
 
 from airv2x_tpu.models.fusion.common import ego_agent_attention
-from airv2x_tpu.models.fusion.stcformer import STCFusion
 from airv2x_tpu.models.fusion.temporal import (
     TemporalLateFusion,
     TemporalLSTMFusion,
@@ -37,13 +35,7 @@ class _TemporalBase(PointPillarBase):
         tcfg = self.args.get("temporal_fusion", {})
         ch = int(tcfg.get("channels", 256))
         method = tcfg.get("method", "lstm")
-        if method == "stcformer":
-            self.temporal_net = STCFusion(
-                channels=ch,
-                num_queries=int(tcfg.get("num_queries", 500)),
-                dtype=self.dtype,
-            )
-        elif method == "late":
+        if method == "late":
             self.temporal_net = TemporalLateFusion(dtype=self.dtype)
         else:
             self.temporal_net = TemporalLSTMFusion(channels=ch, dtype=self.dtype)
@@ -94,22 +86,9 @@ class _TemporalBase(PointPillarBase):
         # collaboration on the current frame
         cur = frames[-1]
 
-        if self._tmethod == "stcformer":
-            # How2comm STCFormer path: single-agent confidences gate the
-            # decoupled deformable collaboration (stcformer.py:148-205)
-            bl = cur.reshape((b * l,) + cur.shape[2:])
-            psm_single = self.cls_head(bl)
-            conf = jnp.max(jax.nn.sigmoid(psm_single), axis=-1, keepdims=True)
-            conf = conf.reshape((b, l) + conf.shape[1:])
-            conf = conf * batch["agent_mask"][:, -1, :, None, None, None].astype(
-                conf.dtype
-            )
-            hist_cf = ego_hist[:, ::-1]  # current frame first (:166-175)
-            out_feat = self.temporal_net(cur, conf, hist_cf, train)
-        else:
-            temporal = self.temporal_net(ego_hist, train)
-            fused = ego_agent_attention(cur, batch["agent_mask"][:, -1])
-            out_feat = 0.5 * (temporal + fused)
+        temporal = self.temporal_net(ego_hist, train)
+        fused = ego_agent_attention(cur, batch["agent_mask"][:, -1])
+        out_feat = 0.5 * (temporal + fused)
         return {
             "psm": self.cls_head(out_feat),
             "rm": self.reg_head(out_feat),
@@ -121,8 +100,3 @@ class _TemporalBase(PointPillarBase):
 class PointPillarScope(_TemporalBase):
     """SCOPE-style temporal + collaborative fusion."""
 
-
-@register_model("point_pillar_how2comm")
-class PointPillarHow2comm(_TemporalBase):
-    """How2comm-style temporal collaboration. ``temporal_fusion.method:
-    stcformer`` enables the full STCFormer path (fusion/stcformer.py)."""

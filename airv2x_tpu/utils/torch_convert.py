@@ -1057,6 +1057,175 @@ def convert_airv2x_sicp(sd: dict, variables: dict, hypes: dict) -> Assigner:
     return asg
 
 
+# --------------------------------------------------------------------------
+# How2comm (how2comm_modules/*): flow generator, mutual communication,
+# STCFormer with deformable query refinement
+
+
+def _consume_scope(ts: TorchState, scope: str):
+    for k in list(ts.sub(scope).keys()):
+        ts.consumed.add(k)
+
+
+def convert_conv1d_as_dense(ts: TorchState, asg: Assigner, path: tuple, *,
+                            scope: str):
+    """torch Conv1d(C, C, kernel=1) -> flax Dense."""
+    s = ts.sub(scope)
+    asg.put("params", path + ("kernel",), to_np(s.get("weight"))[:, :, 0].T)
+    if "bias" in s:
+        asg.put("params", path + ("bias",), to_np(s.get("bias")))
+
+
+def convert_temporal_attention(ts: TorchState, asg: Assigner, base: tuple):
+    """stcformer.TemporalAttention (:25-77)."""
+    for n in ("conv_query", "conv_key", "conv_value", "conv_feat"):
+        convert_conv(ts, asg, base + (n,), scope=n)
+    for n in ("conv_temporal_key", "conv_temporal_value"):
+        convert_conv1d_as_dense(ts, asg, base + (n,), scope=n)
+
+
+def convert_deform_encoder(ts: TorchState, asg: Assigner, base: tuple, *,
+                           depth: int = 1):
+    """RPN_transformer_deformable_mtf_singlescale (:430-524) ->
+    DeformableQueryRefine. The per-layer self-attention block (layers.{i}.0)
+    is constructed but never used in the reference forward — consumed."""
+    convert_linear(ts, asg, base + ("transformer", "pos_embedding"),
+                   scope="pos_embedding")
+    for i in range(depth):
+        lay = ts.sub(f"transformer_layer.layers.{i}")
+        _consume_scope(lay, "0")  # unused PreNorm(Attention)
+        convert_layernorm(lay, asg,
+                          base + ("transformer", f"layer{i}_ca_norm"),
+                          scope="1.norm")
+        ca = lay.sub("1.fn.cross_attn")
+        for n in ("sampling_offsets", "attention_weights", "value_proj",
+                  "output_proj"):
+            convert_linear(
+                ca, asg,
+                base + ("transformer", f"layer{i}_cross_attn", n), scope=n,
+            )
+        convert_layernorm(lay, asg,
+                          base + ("transformer", f"layer{i}_ff_norm"),
+                          scope="2.norm")
+        convert_linear(lay, asg,
+                       base + ("transformer", f"layer{i}_ff", "fc1"),
+                       scope="2.fn.net.0")
+        convert_linear(lay, asg,
+                       base + ("transformer", f"layer{i}_ff", "fc2"),
+                       scope="2.fn.net.3")
+
+
+def convert_stcformer(ts: TorchState, asg: Assigner, base: tuple):
+    """stcformer.STCFormer (:148-205). The per-level nn.LayerNorm is unused
+    in the reference forward — consumed."""
+    convert_temporal_attention(
+        ts.sub("temporal_self_attention"), asg,
+        base + ("temporal_self_attention",),
+    )
+    convert_linear(ts, asg, base + ("time_embedding",), scope="time_embedding")
+    for enc in ("exclusive_encoder", "common_encoder"):
+        convert_deform_encoder(ts.sub(enc), asg, base + (enc,))
+    convert_conv(ts, asg, base + ("late_fusion", "gate_1"),
+                 scope="late_fusion.gate_1")
+    convert_conv(ts, asg, base + ("late_fusion", "gate_2"),
+                 scope="late_fusion.gate_2")
+    _consume_scope(ts, "layer_norm")
+
+
+def convert_flow_generator(ts: TorchState, asg: Assigner, base: tuple, *,
+                           bb_cfg: dict):
+    """feature_flow.FlowGenerator (:346-421): ResNetModified backbone +
+    deblocks (+ the extra //6 deblock) + ReduceInfTC pre-encoder."""
+    for li, n in enumerate(bb_cfg["layer_nums"]):
+        for bi in range(n):
+            _convert_torch_resblock(
+                ts.sub(f"backbone.resnet.layer{li + 1}.{bi}"), asg,
+                base + ("backbone", f"layer{li}_{bi}"), convs=2,
+            )
+    n_up = len(bb_cfg["upsample_strides"])
+    for i in range(n_up):
+        convert_deconv(ts, asg, base + ("backbone", f"deblock{i}_deconv"),
+                       scope=f"backbone.deblocks.{i}.0")
+        convert_bn(ts, asg, base + ("backbone", f"deblock{i}_bn"),
+                   scope=f"backbone.deblocks.{i}.1")
+    convert_deconv(ts, asg, base + ("backbone", "final_deconv"),
+                   scope=f"backbone.deblocks.{n_up}.0")
+    convert_bn(ts, asg, base + ("backbone", "final_bn"),
+               scope=f"backbone.deblocks.{n_up}.1")
+    pe = ts.sub("pre_encoder")
+    for n in ("conv1_2", "conv1_3", "conv1_4", "conv_flow", "conv_scale"):
+        convert_conv(pe, asg, base + ("pre_encoder", n), scope=n)
+    for n in ("bn1_2", "bn1_3", "bn1_4", "bn2_1", "bn2_2", "bn2_3"):
+        convert_bn(pe, asg, base + ("pre_encoder", n), scope=n)
+    for n in ("deconv2_1", "deconv2_2", "deconv2_3"):
+        convert_deconv(pe, asg, base + ("pre_encoder", n), scope=n)
+
+
+def convert_mutual_communication(ts: TorchState, asg: Assigner, base: tuple):
+    """mutual_communication.Communication (:92-269); the fixed gaussian
+    filter is regenerated on the flax side — consumed."""
+    convert_conv(ts, asg, base + ("ch_mlp_0",),
+                 scope="channel_request.sharedMLP.0")
+    convert_conv(ts, asg, base + ("ch_mlp_1",),
+                 scope="channel_request.sharedMLP.2")
+    convert_conv(ts, asg, base + ("spatial_request",),
+                 scope="spatial_request.conv")
+    convert_conv(ts, asg, base + ("channel_fusion",), scope="channel_fusion")
+    convert_conv(ts, asg, base + ("spatial_fusion",), scope="spatial_fusion")
+    for i in (1, 2, 3):
+        convert_conv(ts, asg, base + (f"stat_conv{i}",),
+                     scope=f"statisticsNetwork.conv{i}")
+    _consume_scope(ts, "gaussian_filter")
+
+
+def convert_point_pillar_how2comm(sd: dict, variables: dict,
+                                  hypes: dict) -> Assigner:
+    """PointPillarHow2comm (models/point_pillar_how2comm.py) -> faithful
+    flax twin (models/how2comm_model.py)."""
+    args = dict(hypes["model"]["args"])
+    args.setdefault("preprocess", hypes.get("preprocess"))
+    ts = TorchState(strip_module_prefix(sd))
+    asg = Assigner(variables)
+
+    pre = args.get("preprocess") or {}
+    nf = args["pillar_vfe"]["num_filters"]
+    fast = bool((pre.get("args") or {}).get("fast_pillars", True)) and len(nf) == 1
+    convert_pillar_vfe(ts.sub("pillar_vfe"), asg, ("vfe",), fast=fast,
+                       num_layers=len(nf))
+    bb = args["base_bev_backbone"]
+    if "resnet" in bb:
+        convert_resnet_backbone(
+            ts.sub("backbone"), asg, ("backbone",),
+            layer_nums=bb["layer_nums"],
+            upsample_strides=bb.get("upsample_strides", ()),
+        )
+    else:
+        convert_bev_backbone(
+            ts.sub("backbone"), asg, ("backbone",),
+            layer_nums=bb["layer_nums"],
+            upsample_strides=bb.get("upsample_strides", ()),
+        )
+    shrink = args.get("shrink_header", {})
+    if shrink.get("use", bool(shrink.get("dim"))):
+        convert_downsample_conv(ts.sub("shrink_conv"), asg, ("shrink_conv",),
+                                n_layers=len(shrink["dim"]))
+    convert_det_heads(ts, asg, base=())
+
+    fn = ts.sub("fusion_net")
+    convert_conv(fn, asg, ("channel_fuse",), scope="channel_fuse")
+    convert_flow_generator(fn.sub("how2comm.flow"), asg, ("flow",),
+                           bb_cfg=args["base_bev_backbone"])
+    convert_mutual_communication(fn.sub("how2comm.commu_module"), asg,
+                                 ("commu_module",))
+    _consume_scope(fn.sub("how2comm"), "commu_module.gaussian_filter")
+    _consume_scope(fn, "naive_communication")
+    for i in range(len(args["fusion_args"]["num_filters"])):
+        convert_stcformer(fn.sub(f"fuse_modules.{i}"), asg,
+                          (f"stcformer_{i}",))
+    asg.torch_leftovers = ts.leftovers()
+    return asg
+
+
 CONVERTERS: dict[str, Callable[[dict, dict, dict], Assigner]] = {
     "airv2x_where2comm": convert_airv2x_where2comm,
     "airv2x_where2com": convert_airv2x_where2comm,
@@ -1088,6 +1257,7 @@ CONVERTERS: dict[str, Callable[[dict, dict, dict], Assigner]] = {
     "point_pillar_when2com": convert_point_pillar_when2com,
     "point_pillar_sicp": convert_point_pillar_sicp,
     "point_pillar_sicp_lrf": convert_point_pillar_sicp,
+    "point_pillar_how2comm": convert_point_pillar_how2comm,
     "airv2x_early": convert_point_pillar_intermediate,
 }
 

@@ -182,6 +182,12 @@ def install_reference_stubs():
     bo.bbox_overlaps = bbox_overlaps_np
     sys.modules.setdefault("opencood.utils.box_overlaps", bo)
 
+    # point_pillar_how2comm.py:9 imports a module that does not exist in
+    # the reference tree (broken upstream import, unused for detection)
+    nd = types.ModuleType("opencood.models.common_modules.naive_decoder")
+    nd.NaiveDecoder = _AnyStub
+    sys.modules.setdefault("opencood.models.common_modules.naive_decoder", nd)
+
 
 def install_camera_backends():
     """Give the efficientnet_pytorch / torchvision stubs REAL minimal
@@ -234,6 +240,47 @@ def install_camera_backends():
             mod.EfficientNet = _EffNet
             if hasattr(mod, "resnet18"):
                 mod.resnet18, mod.resnet101 = resnet18, resnet101
+
+
+def install_msda_backend():
+    """Real pure-torch backend for the ``MultiScaleDeformableAttention``
+    CUDA extension the reference's deformable transformer imports
+    (how2comm_deformable_transformer.py:4). Implements the documented
+    kernel semantics (the upstream Deformable-DETR
+    ``ms_deform_attn_core_pytorch`` equivalence): per-level grid_sample at
+    ``2*loc - 1`` (bilinear, zeros, align_corners=False), blended with the
+    softmaxed attention weights."""
+    import torch
+    import torch.nn.functional as F
+
+    def ms_deform_attn_forward(value, spatial_shapes, level_start_index,
+                               sampling_locations, attention_weights,
+                               im2col_step):
+        n, _, m, d = value.shape
+        _, lq, _, lv, p, _ = sampling_locations.shape
+        sizes = [int(h) * int(w) for h, w in spatial_shapes]
+        value_list = value.split(sizes, dim=1)
+        sampled = []
+        for lid in range(lv):
+            h, w = int(spatial_shapes[lid][0]), int(spatial_shapes[lid][1])
+            v = value_list[lid].flatten(2).transpose(1, 2).reshape(
+                n * m, d, h, w
+            )
+            grid = 2 * sampling_locations[:, :, :, lid] - 1  # (n, lq, m, p, 2)
+            grid = grid.transpose(1, 2).flatten(0, 1)  # (n*m, lq, p, 2)
+            sampled.append(
+                F.grid_sample(v, grid, mode="bilinear", padding_mode="zeros",
+                              align_corners=False)
+            )  # (n*m, d, lq, p)
+        attn = attention_weights.transpose(1, 2).reshape(n * m, 1, lq, lv * p)
+        out = (torch.stack(sampled, dim=-2).flatten(-2) * attn).sum(-1)
+        return out.view(n, m * d, lq).transpose(1, 2).contiguous()
+
+    m = sys.modules.get("MultiScaleDeformableAttention")
+    if m is None:
+        m = types.ModuleType("MultiScaleDeformableAttention")
+        sys.modules["MultiScaleDeformableAttention"] = m
+    m.ms_deform_attn_forward = ms_deform_attn_forward
 
 
 class patched_cuda_to_cpu:

@@ -68,7 +68,7 @@ def _build_batch(hypes, layout):
 
     if any(k in core for k in ("scope", "how2comm")):  # K-frame stacks
         t_frames = 2
-        frame_keys = ["points", "points_mask", "agent_mask"]
+        frame_keys = ["points", "points_mask", "agent_mask", "pairwise_t_full"]
         if needs_radar:
             frame_keys += ["radar_points", "radar_points_mask"]
         for key in frame_keys:

@@ -39,18 +39,26 @@ def test_scope_temporal_forward():
 
 
 def test_how2comm_stcformer_forward():
-    """STCFormer path: decoupling + temporal attention + deformable query
-    refinement + late fusion (stcformer.py twin)."""
+    """Faithful How2comm: flow compensation + mutual communication +
+    STCFormer (decoupling, temporal attention, deformable refinement)."""
     hypes = _hypes(
         "point_pillar_how2comm",
         {
-            "temporal_fusion": {
-                "channels": 32,
-                "method": "stcformer",
+            "flow_flag": True,
+            "fusion_args": {
+                "voxel_size": [0.4, 0.4, 4],
+                "downsample_rate": 1,
+                "communication": {
+                    "thre": 0.01,
+                    "request_flag": True,
+                    "gaussian_smooth": {"k_size": 5, "c_sigma": 1.0},
+                },
+                "communication_flag": True,
+                "multi_scale": True,
                 "num_queries": 64,
-                "discrete_ratio": 0.4,
-                "downsample_rate": 2,
-            }
+                "layer_nums": [1, 1],
+                "num_filters": [16, 32],
+            },
         },
     )
     model = build_model(hypes)
