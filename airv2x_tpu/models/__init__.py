@@ -14,7 +14,7 @@ from airv2x_tpu.models import v2xvit_model  # noqa: F401
 from airv2x_tpu.models import heal_model  # noqa: F401
 from airv2x_tpu.models import stamp_model  # noqa: F401
 from airv2x_tpu.models import point_pillar_models  # noqa: F401
-from airv2x_tpu.models import temporal_models  # noqa: F401
+from airv2x_tpu.models import scope_model  # noqa: F401
 from airv2x_tpu.models import how2comm_model  # noqa: F401
 from airv2x_tpu.models import radar_models  # noqa: F401
 from airv2x_tpu.models import bm2cp_model  # noqa: F401

@@ -100,20 +100,39 @@ class MSDeformAttn(nn.Module):
         px = loc[..., 0] * w - 0.5
         py = loc[..., 1] * h - 0.5
 
+        # One flat gather per bilinear corner: index (level, y, x, head)
+        # rows of the flattened value table — keeps the XLA graph to four
+        # gathers instead of per-head/per-level nests (compile-time
+        # critical on TPU).
+        lv_idx = jnp.arange(lv)[None, None, :, None]
+        head_idx = jnp.arange(heads)[None, :, None, None]
+
         def per_batch(val_b, px_b, py_b, attn_b):
             # val_b (lv, H, W, heads, dh); px/py (Lq, heads, lv, pts)
-            def per_level(val_l, px_l, py_l):
-                # sample each head's map: val_l (H, W, heads, dh)
-                def per_head(vh, x_h, y_h):
-                    return sample_bilinear_zeros(vh, x_h, y_h)  # (Lq, pts, dh)
+            val_flat = val_b.reshape(lv * h * w * heads, dh)
+            x0 = jnp.floor(px_b)
+            y0 = jnp.floor(py_b)
+            tx = (px_b - x0)[..., None]
+            ty = (py_b - y0)[..., None]
+            x0i = x0.astype(jnp.int32)
+            y0i = y0.astype(jnp.int32)
 
-                return jax.vmap(per_head, in_axes=(2, 1, 1), out_axes=1)(
-                    val_l, px_l, py_l
-                )  # (Lq, heads, pts, dh)
+            def tap(yi, xi):
+                inside = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+                yc = jnp.clip(yi, 0, h - 1)
+                xc = jnp.clip(xi, 0, w - 1)
+                rows = ((lv_idx * h + yc) * w + xc) * heads + head_idx
+                v = jnp.take(val_flat, rows.reshape(-1), axis=0)
+                v = v.reshape(rows.shape + (dh,))
+                return v * inside[..., None].astype(val_flat.dtype)
 
-            sampled = jax.vmap(per_level, in_axes=(0, 2, 2), out_axes=2)(
-                val_b, px_b, py_b
-            )  # (Lq, heads, lv, pts, dh)
+            v00 = tap(y0i, x0i)
+            v01 = tap(y0i, x0i + 1)
+            v10 = tap(y0i + 1, x0i)
+            v11 = tap(y0i + 1, x0i + 1)
+            top = v00 * (1 - tx) + v01 * tx
+            bot = v10 * (1 - tx) + v11 * tx
+            sampled = top * (1 - ty) + bot * ty  # (Lq, heads, lv, pts, dh)
             return jnp.sum(sampled * attn_b[..., None], axis=(2, 3))
 
         out = jax.vmap(per_batch)(value, px, py, attn)  # (B, Lq, heads, dh)

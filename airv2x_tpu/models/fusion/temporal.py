@@ -1,14 +1,9 @@
-"""Temporal BEV fusion over K history frames (SCOPE / How2comm family).
+"""History-warp helper + generic ConvLSTM temporal fusion.
 
-Covers the multi-frame contract of the reference's temporal models
-(point_pillar_scope.py + scope_modules/temporal_fusion_lstm.py,
-point_pillar_how2comm.py): history ego features are warped into the current
-frame (transform_feature, point_pillar_scope.py:17-51) and fused with a
-convolutional LSTM scanned over time, plus a late elementwise variant.
-
-The reference's deformable-attention refinement stage (scope_attn.py) is
-approximated by a standard conv-gated attention here — noted deviation, to
-be tightened in a later round.
+``warp_history_to_current`` aligns history ego features into the current
+frame (transform_feature, point_pillar_scope.py:17-51). The faithful SCOPE
+temporal stack (SpatialAttention_mtf + STPN-gated MotionLSTM) lives in
+fusion/scope.py; the faithful How2comm STCFormer in fusion/stcformer.py.
 """
 
 from __future__ import annotations

@@ -470,7 +470,7 @@ def _install_lrf_variants():
         PointPillarV2XViT,
         PointPillarWhere2comm,
     )
-    from airv2x_tpu.models.temporal_models import PointPillarScope
+    from airv2x_tpu.models.scope_model import PointPillarScope
 
     _make_lrf(PointPillarV2XViT, ("point_pillar_v2xvit_lrf",),
               "point_pillar_v2xvit_lrf.py")

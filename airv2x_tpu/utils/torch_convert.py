@@ -1226,6 +1226,89 @@ def convert_point_pillar_how2comm(sd: dict, variables: dict,
     return asg
 
 
+# --------------------------------------------------------------------------
+# SCOPE (scope_modules/*): LSTM temporal fusion, confidence-masked
+# collaboration, deformable per-level fusion, late confidence blending
+
+
+def convert_stpn(ts: TorchState, asg: Assigner, base: tuple):
+    """temporal_fusion_lstm.STPN_MotionLSTM (:118-208)."""
+    for n in ("1_1", "1_2", "2_1", "2_2", "7_1", "7_2", "8_1", "8_2"):
+        convert_conv(ts, asg, base + (f"conv{n}",), scope=f"conv{n}")
+        convert_bn(ts, asg, base + (f"bn{n}",), scope=f"bn{n}")
+
+
+def convert_sync_lstm(ts: TorchState, asg: Assigner, base: tuple):
+    """temporal_fusion_lstm.SyncLSTM (:11-79)."""
+    for n in ("pre_1", "pre_2", "after_1", "after_2"):
+        convert_conv(ts, asg, base + (f"conv_{n}",), scope=f"conv_{n}")
+        convert_bn(ts, asg, base + (f"bn_{n}",), scope=f"bn_{n}")
+    # init_c (cs, H, W) -> (H, W, cs)
+    asg.put("params", base + ("init_c",),
+            to_np(ts.get("init_c")).transpose(1, 2, 0))
+    cell = ts.sub("lstmcell")
+    for g in ("i", "f", "c", "o"):
+        convert_stpn(cell.sub(f"U_{g}"), asg, base + ("lstmcell", f"u_{g}"))
+        convert_stpn(cell.sub(f"V_{g}"), asg, base + ("lstmcell", f"v_{g}"))
+        # bias (1, C, H, W) -> (1, H, W, C)
+        asg.put("params", base + ("lstmcell", f"b_{g}"),
+                to_np(cell.get(f"b_{g}")).transpose(0, 2, 3, 1))
+
+
+def convert_point_pillar_scope(sd: dict, variables: dict,
+                               hypes: dict) -> Assigner:
+    """PointPillarScope (models/point_pillar_scope.py) -> faithful flax
+    twin (models/scope_model.py). The reference constructs a second
+    pillar_vfe_2/scatter_2/backbone_2 it never calls — consumed."""
+    args = dict(hypes["model"]["args"])
+    args.setdefault("preprocess", hypes.get("preprocess"))
+    ts = TorchState(strip_module_prefix(sd))
+    asg = Assigner(variables)
+
+    pre = args.get("preprocess") or {}
+    nf = args["pillar_vfe"]["num_filters"]
+    fast = bool((pre.get("args") or {}).get("fast_pillars", True)) and len(nf) == 1
+    convert_pillar_vfe(ts.sub("pillar_vfe"), asg, ("vfe",), fast=fast,
+                       num_layers=len(nf))
+    bb = args["base_bev_backbone"]
+    if "resnet" in bb:
+        convert_resnet_backbone(
+            ts.sub("backbone"), asg, ("backbone",),
+            layer_nums=bb["layer_nums"],
+            upsample_strides=bb.get("upsample_strides", ()),
+        )
+    else:
+        convert_bev_backbone(
+            ts.sub("backbone"), asg, ("backbone",),
+            layer_nums=bb["layer_nums"],
+            upsample_strides=bb.get("upsample_strides", ()),
+        )
+    for dead in ("pillar_vfe_2", "scatter_2", "backbone_2"):
+        _consume_scope(ts, dead)
+    shrink = args.get("shrink_header", {})
+    if shrink.get("use", bool(shrink.get("dim"))):
+        convert_downsample_conv(ts.sub("shrink_conv"), asg, ("shrink_conv",),
+                                n_layers=len(shrink["dim"]))
+    convert_det_heads(ts, asg, base=())
+
+    fa = args["fusion_args"]
+    fn = ts.sub("fusion_net")
+    _consume_scope(fn, "naive_communication")
+    if str((fa.get("agg_operator") or {}).get("mode")) == "Deform":
+        for i in range(len(fa["num_filters"])):
+            convert_deform_encoder(fn.sub(f"fuse_modules.{i}"), asg,
+                                   (f"deform_fuse_{i}",))
+
+    tfu = ts.sub("temporal_fusion")
+    convert_conv(tfu, asg, ("temporal_fusion", "mtf_attention", "conv1"),
+                 scope="mtf_attention.conv1")
+    convert_sync_lstm(tfu.sub("sync_lstm"), asg,
+                      ("temporal_fusion", "sync_lstm"))
+    _consume_scope(ts, "late_fusion")
+    asg.torch_leftovers = ts.leftovers()
+    return asg
+
+
 CONVERTERS: dict[str, Callable[[dict, dict, dict], Assigner]] = {
     "airv2x_where2comm": convert_airv2x_where2comm,
     "airv2x_where2com": convert_airv2x_where2comm,
@@ -1258,6 +1341,7 @@ CONVERTERS: dict[str, Callable[[dict, dict, dict], Assigner]] = {
     "point_pillar_sicp": convert_point_pillar_sicp,
     "point_pillar_sicp_lrf": convert_point_pillar_sicp,
     "point_pillar_how2comm": convert_point_pillar_how2comm,
+    "point_pillar_scope": convert_point_pillar_scope,
     "airv2x_early": convert_point_pillar_intermediate,
 }
 

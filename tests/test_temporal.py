@@ -10,12 +10,25 @@ def test_scope_temporal_forward():
     hypes = _hypes(
         "point_pillar_scope",
         {
-            "temporal_fusion": {
-                "channels": 32,
-                "method": "lstm",
-                "discrete_ratio": 0.4,
-                "downsample_rate": 2,
-            }
+            "fusion_args": {
+                "voxel_size": [0.4, 0.4, 4],
+                "downsample_rate": 1,
+                "communication": {
+                    "thre": 0.01,
+                    "gaussian_smooth": {"k_size": 5, "c_sigma": 1.0},
+                },
+                "agg_operator": {"mode": "Deform"},
+                "multi_scale": True,
+                "frame": 2,
+                "num_queries": 64,
+                "layer_nums": [1, 1],
+                "num_filters": [16, 32],
+                "temporal_fusion": {
+                    "channel": 32,
+                    "height": 32,
+                    "width": 32,
+                },
+            },
         },
     )
     model = build_model(hypes)
