@@ -61,14 +61,22 @@ class ScopeCommunication(nn.Module):
         return mask, rate, smooth
 
 
-def atten_fusion(x):
-    """scope_attn.AttenFusion (:30-40): per-pixel self-attention across
-    agent slots, ego row kept. x (B, L, H, W, C) -> (B, H, W, C)."""
+def atten_fusion(x, agent_mask=None):
+    """scope_attn.AttenFusion (:30-40) / coalign_modules' Att_w_Warp
+    attention: per-pixel self-attention across agent slots, ego row kept.
+    x (B, L, H, W, C) -> (B, H, W, C). ``agent_mask`` excludes padded
+    slots from the softmax (the reference operates on ragged unpadded
+    stacks)."""
     b, l, h, w, c = x.shape
     seq = x.transpose(0, 2, 3, 1, 4).reshape(b, h * w, l, c)
     score = jnp.einsum("bpic,bpjc->bpij", seq, seq) / jnp.sqrt(
         jnp.asarray(c, jnp.float32)
     )
+    if agent_mask is not None:
+        score = jnp.where(
+            agent_mask[:, None, None, :].astype(bool), score,
+            jnp.asarray(-1e9, score.dtype),
+        )
     attn = jax.nn.softmax(score, axis=-1)
     out = jnp.einsum("bpij,bpjc->bpic", attn, seq)[:, :, 0]
     return out.reshape(b, h, w, c)

@@ -77,7 +77,12 @@ class PointPillarBase(nn.Module):
                 use_absolute_xyz=pv["use_absolute_xyz"],
                 dtype=self.dtype,
             )
-        bb = args["base_bev_backbone"]
+        bb = args.get("base_bev_backbone")
+        if bb is None and "res_bev_backbone" in args:
+            # coalign names its (always-ResNet) backbone differently
+            # (point_pillar_coalign.py:43)
+            bb = dict(args["res_bev_backbone"])
+            bb["resnet"] = True
         if bb.get("resnet"):
             # point_pillar_baseline_multiscale.py:40-48 defaults to the
             # ResNet BEV backbone behind ``base_bev_backbone.resnet``

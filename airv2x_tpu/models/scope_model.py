@@ -184,7 +184,7 @@ class PointPillarScope(PointPillarBase):
             elif self._agg_mode == "MAX":
                 fused = max_fusion(xi)
             else:
-                fused = atten_fusion(xi)
+                fused = atten_fusion(xi, agent_mask)
             ups.append(self.backbone.deblocks[i](fused, train))
 
         x_fuse = jnp.concatenate(ups, axis=-1) if len(ups) > 1 else ups[0]

@@ -1255,6 +1255,39 @@ def convert_sync_lstm(ts: TorchState, asg: Assigner, base: tuple):
                 to_np(cell.get(f"b_{g}")).transpose(0, 2, 3, 1))
 
 
+def convert_point_pillar_coalign(sd: dict, variables: dict,
+                                 hypes: dict) -> Assigner:
+    """PointPillarCoAlign (models/point_pillar_coalign.py) -> faithful flax
+    twin: pillar vfe + res_bev_backbone + (optional) compressor + heads;
+    Att_w_Warp fusion is parameter-less."""
+    args = dict(hypes["model"]["args"])
+    args.setdefault("preprocess", hypes.get("preprocess"))
+    ts = TorchState(strip_module_prefix(sd))
+    asg = Assigner(variables)
+
+    pre = args.get("preprocess") or {}
+    nf = args["pillar_vfe"]["num_filters"]
+    fast = bool((pre.get("args") or {}).get("fast_pillars", True)) and len(nf) == 1
+    convert_pillar_vfe(ts.sub("pillar_vfe"), asg, ("vfe",), fast=fast,
+                       num_layers=len(nf))
+    bb = args.get("res_bev_backbone") or args["base_bev_backbone"]
+    convert_resnet_backbone(
+        ts.sub("backbone"), asg, ("backbone",),
+        layer_nums=bb["layer_nums"],
+        upsample_strides=bb.get("upsample_strides", ()),
+    )
+    if int(args.get("compression", 0)) > 0:
+        convert_naive_compressor(ts.sub("naive_compressor"), asg,
+                                 ("compressor",))
+    shrink = args.get("shrink_header", {})
+    if shrink.get("use", bool(shrink.get("dim"))):
+        convert_downsample_conv(ts.sub("shrink_conv"), asg, ("shrink_conv",),
+                                n_layers=len(shrink["dim"]))
+    convert_det_heads(ts, asg, base=())
+    asg.torch_leftovers = ts.leftovers()
+    return asg
+
+
 def convert_point_pillar_scope(sd: dict, variables: dict,
                                hypes: dict) -> Assigner:
     """PointPillarScope (models/point_pillar_scope.py) -> faithful flax
@@ -1327,8 +1360,8 @@ CONVERTERS: dict[str, Callable[[dict, dict, dict], Assigner]] = {
     "point_pillar_baseline_multiscale": convert_point_pillar_intermediate,
     "point_pillar_where2comm": convert_point_pillar_intermediate,
     "point_pillar_where2comm_lrf": convert_point_pillar_intermediate,
-    "point_pillar_coalign": convert_point_pillar_intermediate,
-    "point_pillar_coalign_lrf": convert_point_pillar_intermediate,
+    "point_pillar_coalign": convert_point_pillar_coalign,
+    "point_pillar_coalign_lrf": convert_point_pillar_coalign,
     "point_pillar_disconet": convert_point_pillar_intermediate,
     "point_pillar_disconet_teacher": convert_point_pillar_intermediate,
     "point_pillar_intermediate_lrf": convert_point_pillar_intermediate,
