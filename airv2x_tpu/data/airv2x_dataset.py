@@ -362,6 +362,14 @@ class AirV2XDataset:
                         ego_mask=2.0,
                     )
                     points_mask[slot, :cnt] = True
+                    if cnt == 0:
+                        # reference empty-cloud fallback: a dummy (0,0,0,0)
+                        # point that voxelizes at the grid center (the
+                        # second far dummy is out of range on both sides;
+                        # sp_voxel_preprocessor.py:74-91). Labels for such
+                        # agents are already masked upstream.
+                        points[slot, 0] = 0.0
+                        points_mask[slot, 0] = True
 
                 if tname in self.cam_confs:
                     from airv2x_tpu.data.camera import load_agent_cam_inputs

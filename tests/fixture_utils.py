@@ -123,9 +123,10 @@ def make_fixture(
                 _write_seg_maps(adir)
             with open(os.path.join(adir, "metadata.pkl"), "wb") as f:
                 pickle.dump(meta, f)
-            # a small cloud around the agent (world frame shifted to sensor)
+            # a small cloud around the agent (world frame shifted to sensor);
+            # the drone looks down at the ground from its altitude
             pts = rng.normal(scale=10.0, size=(500, 4)).astype(np.float32)
-            pts[:, 2] = rng.uniform(-1.5, 0.5, 500) - 1.9
+            pts[:, 2] = rng.uniform(-1.5, 0.5, 500) - 1.9 - pose[2]
             pts[:, 3] = rng.uniform(0, 1, 500)
             write_pcd(os.path.join(adir, "lidar.pcd"), pts)
         objects = {
