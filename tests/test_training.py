@@ -110,6 +110,7 @@ def test_backbone_fix_prefixes():
     assert partial == ["rsu_pillar_vfe", "drone_pillar_vfe"]
 
 
+@pytest.mark.slow
 def test_dryrun_multichip():
     sys.path.insert(0, REPO)
     import __graft_entry__ as ge
