@@ -16,6 +16,8 @@ from airv2x_tpu.models import stamp_model  # noqa: F401
 from airv2x_tpu.models import point_pillar_models  # noqa: F401
 from airv2x_tpu.models import scope_model  # noqa: F401
 from airv2x_tpu.models import how2comm_model  # noqa: F401
+from airv2x_tpu.models import where2comm_attn_model  # noqa: F401
+from airv2x_tpu.models import point_pillar_bm2cp_model  # noqa: F401
 from airv2x_tpu.models import radar_models  # noqa: F401
 from airv2x_tpu.models import bm2cp_model  # noqa: F401
 from airv2x_tpu.models import coalign_model  # noqa: F401

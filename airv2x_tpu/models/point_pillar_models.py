@@ -49,7 +49,8 @@ class PointPillarBase(nn.Module):
         pre = args["preprocess"]
         self.pre = pre
 
-        pv = args["pillar_vfe"]
+        # bm2cp nests the trunk config (point_pillar_bm2cp.py:215-260)
+        pv = args.get("pillar_vfe") or args["pc_params"]["pillar_vfe"]
         # sort-free encoder for single-PFN-layer configs (ops/fast_pillars.py);
         # models needing per-voxel 3D features (RTNH) force the classic path
         self.fast_pillars = (
@@ -83,6 +84,10 @@ class PointPillarBase(nn.Module):
             # (point_pillar_coalign.py:43)
             bb = dict(args["res_bev_backbone"])
             bb["resnet"] = True
+        if bb is None and "modality_fusion" in args:
+            # bm2cp: modality_fusion.bev_backbone, always ResNet
+            bb = dict(args["modality_fusion"]["bev_backbone"])
+            bb["resnet"] = True
         if bb.get("resnet"):
             # point_pillar_baseline_multiscale.py:40-48 defaults to the
             # ResNet BEV backbone behind ``base_bev_backbone.resnet``
@@ -106,7 +111,10 @@ class PointPillarBase(nn.Module):
                 num_upsample_filters=bb["num_upsample_filter"],
                 dtype=self.dtype,
             )
-        shrink = args.get("shrink_header", {})
+        shrink = args.get("shrink_header")
+        if shrink is None and "modality_fusion" in args:
+            shrink = args["modality_fusion"].get("shrink_header", {})
+        shrink = shrink or {}
         # reference flat configs have no 'use' key — the presence of the
         # shrink_header block enables it (point_pillar_sicp.py:53-56)
         self.shrink_flag = bool(

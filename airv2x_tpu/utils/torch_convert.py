@@ -862,6 +862,7 @@ def convert_airv2x_v2vnet(sd: dict, variables: dict, hypes: dict) -> Assigner:
 def convert_resnet_backbone(
     ts: TorchState, asg: Assigner, base: tuple, *, layer_nums,
     upsample_strides=(), resnext: bool = False, nested: bool = False,
+    layer_base: int = 0,
 ):
     """ResNetBEVBackbone / PyramidFusion trunk (sub_modules/resblock.py,
     base_bev_backbone_resnet.py): resnet.layer{i}.{j} blocks + deblocks.
@@ -874,14 +875,14 @@ def convert_resnet_backbone(
     inner = ("resnet",) if nested else ()
     for i, n in enumerate(layer_nums):
         for j in range(n):
-            blk = ts.sub(f"resnet.layer{i}.{j}")
+            blk = ts.sub(f"resnet.layer{i + layer_base}.{j}")
             dst = base + inner + (f"stages_{i}", f"{block}_{j}")
             for k in range(n_convs):
                 convert_conv(blk, asg, dst + (f"Conv_{k}",), scope=f"conv{k + 1}")
                 convert_bn(
                     blk, asg, dst + (f"BatchNorm_{k}",), scope=f"bn{k + 1}"
                 )
-            if f"resnet.layer{i}.{j}.downsample.0.weight" in ts:
+            if f"resnet.layer{i + layer_base}.{j}.downsample.0.weight" in ts:
                 convert_conv(
                     blk, asg, dst + (f"Conv_{n_convs}",), scope="downsample.0"
                 )
@@ -1255,6 +1256,132 @@ def convert_sync_lstm(ts: TorchState, asg: Assigner, base: tuple):
                 to_np(cell.get(f"b_{g}")).transpose(0, 2, 3, 1))
 
 
+def convert_encode_layer(ts: TorchState, asg: Assigner, base: tuple):
+    """where2comm_attn.EncodeLayer (:79-118)."""
+    asg.put("params", base + ("in_proj_weight",),
+            to_np(ts.get("attn.in_proj_weight")))
+    asg.put("params", base + ("in_proj_bias",),
+            to_np(ts.get("attn.in_proj_bias")))
+    convert_linear(ts, asg, base + ("out_proj",), scope="attn.out_proj")
+    convert_linear(ts, asg, base + ("linear1",), scope="linear1")
+    convert_linear(ts, asg, base + ("linear2",), scope="linear2")
+    convert_layernorm(ts, asg, base + ("norm1",), scope="norm1")
+    convert_layernorm(ts, asg, base + ("norm2",), scope="norm2")
+
+
+def convert_point_pillar_where2comm_bm2cp(sd: dict, variables: dict,
+                                          hypes: dict) -> Assigner:
+    """PointPillarWhere2comm (models/point_pillar_where2comm_bm2cp.py, the
+    where2comm_attn variant) -> PointPillarWhere2commAttn."""
+    args = dict(hypes["model"]["args"])
+    args.setdefault("preprocess", hypes.get("preprocess"))
+    ts = TorchState(strip_module_prefix(sd))
+    asg = Assigner(variables)
+
+    pre = args.get("preprocess") or {}
+    nf = args["pillar_vfe"]["num_filters"]
+    fast = bool((pre.get("args") or {}).get("fast_pillars", True)) and len(nf) == 1
+    convert_pillar_vfe(ts.sub("pillar_vfe"), asg, ("vfe",), fast=fast,
+                       num_layers=len(nf))
+    bb = args["base_bev_backbone"]
+    if "resnet" in bb:
+        convert_resnet_backbone(
+            ts.sub("backbone"), asg, ("backbone",),
+            layer_nums=bb["layer_nums"],
+            upsample_strides=bb.get("upsample_strides", ()),
+        )
+    else:
+        convert_bev_backbone(
+            ts.sub("backbone"), asg, ("backbone",),
+            layer_nums=bb["layer_nums"],
+            upsample_strides=bb.get("upsample_strides", ()),
+        )
+    shrink = args.get("shrink_header", {})
+    if shrink.get("use", bool(shrink.get("dim"))):
+        convert_downsample_conv(ts.sub("shrink_conv"), asg, ("shrink_conv",),
+                                n_layers=len(shrink["dim"]))
+    convert_det_heads(ts, asg, base=())
+    fn = ts.sub("fusion_net")
+    _consume_scope(fn, "naive_communication")
+    fa = args["fusion_args"]
+    if str((fa.get("agg_operator") or {}).get("mode")) == "Transformer":
+        n = len(fa["num_filters"]) if fa.get("multi_scale", True) else 1
+        for i in range(n):
+            convert_encode_layer(
+                fn.sub(f"fuse_modules.{i}.encode_layer"), asg,
+                (f"transformer_fuse_{i}", "encode_layer"),
+            )
+    asg.torch_leftovers = ts.leftovers()
+    return asg
+
+
+def convert_conv3d(ts: TorchState, asg: Assigner, path: tuple, *, scope=""):
+    """torch Conv3d weight (O, I, kd, kh, kw) -> flax (kd, kh, kw, I, O)."""
+    s = ts.sub(scope) if scope else ts
+    asg.put("params", path + ("kernel",),
+            to_np(s.get("weight")).transpose(2, 3, 4, 1, 0))
+    if "bias" in s:
+        asg.put("params", path + ("bias",), to_np(s.get("bias")))
+
+
+def convert_bm2cp_up(ts: TorchState, asg: Assigner, base: tuple):
+    """sensor_blocks.Up (single conv-bn): conv.0 / conv.1."""
+    convert_conv(ts, asg, base + ("conv0",), scope="conv.0")
+    convert_bn(ts, asg, base + ("bn0",), scope="conv.1")
+
+
+def convert_img_cam_encode(ts: TorchState, asg: Assigner, base: tuple, *,
+                           downsample: int):
+    """sensor_blocks.ImgCamEncode (:68-212)."""
+    convert_efficientnet_features(ts.sub("trunk"), asg, base + ("trunk",))
+    convert_bm2cp_up(ts.sub("up1"), asg, base + ("up1",))
+    if int(downsample) == 8:
+        convert_bm2cp_up(ts.sub("up2"), asg, base + ("up2",))
+    convert_conv(ts, asg, base + ("image_head",), scope="image_head")
+    if "depth_head.weight" in ts:
+        convert_conv(ts, asg, base + ("depth_head",), scope="depth_head")
+
+
+def convert_point_pillar_bm2cp(sd: dict, variables: dict,
+                               hypes: dict) -> Assigner:
+    """PointPillarBM2CP (models/point_pillar_bm2cp.py) -> flax twin."""
+    args = dict(hypes["model"]["args"])
+    args.setdefault("preprocess", hypes.get("preprocess"))
+    ts = TorchState(strip_module_prefix(sd))
+    asg = Assigner(variables)
+
+    pc = args["pc_params"]
+    pre = args.get("preprocess") or {}
+    nf = pc["pillar_vfe"]["num_filters"]
+    fast = bool((pre.get("args") or {}).get("fast_pillars", True)) and len(nf) == 1
+    convert_pillar_vfe(ts.sub("pillar_vfe"), asg, ("vfe",), fast=fast,
+                       num_layers=len(nf))
+    img = args["img_params"]
+    convert_img_cam_encode(ts.sub("camencode"), asg, ("camencode",),
+                           downsample=img["img_downsample"])
+    # MultiModalFusion: gated 3d convs + ImgModalFusion projection
+    convert_conv3d(ts, asg, ("fusion", "multigate"), scope="fusion.multigate")
+    convert_conv3d(ts, asg, ("fusion", "multifuse"), scope="fusion.multifuse")
+    convert_linear(ts, asg, ("fusion", "img_proj"),
+                   scope="fusion.img_fusion.proj")
+
+    bb = args["modality_fusion"]["bev_backbone"]
+    convert_resnet_backbone(
+        ts.sub("backbone"), asg, ("backbone",),
+        layer_nums=bb["layer_nums"],
+        upsample_strides=bb.get("upsample_strides", ()),
+        layer_base=1,  # bm2cp uses common_modules/resblock (layer1-indexed)
+    )
+    shrink = args["modality_fusion"].get("shrink_header", {})
+    if shrink.get("use", bool(shrink.get("dim"))):
+        convert_downsample_conv(ts.sub("shrink_conv"), asg, ("shrink_conv",),
+                                n_layers=len(shrink["dim"]))
+    convert_det_heads(ts, asg, base=())
+    _consume_scope(ts, "fusion_net")  # AttenComm is parameter-less
+    asg.torch_leftovers = ts.leftovers()
+    return asg
+
+
 def convert_point_pillar_coalign(sd: dict, variables: dict,
                                  hypes: dict) -> Assigner:
     """PointPillarCoAlign (models/point_pillar_coalign.py) -> faithful flax
@@ -1375,6 +1502,8 @@ CONVERTERS: dict[str, Callable[[dict, dict, dict], Assigner]] = {
     "point_pillar_sicp_lrf": convert_point_pillar_sicp,
     "point_pillar_how2comm": convert_point_pillar_how2comm,
     "point_pillar_scope": convert_point_pillar_scope,
+    "point_pillar_where2comm_bm2cp": convert_point_pillar_where2comm_bm2cp,
+    "point_pillar_bm2cp": convert_point_pillar_bm2cp,
     "airv2x_early": convert_point_pillar_intermediate,
 }
 

@@ -163,6 +163,7 @@ def install_reference_stubs():
         "efficientnet_pytorch", "pyquaternion", "pypcd", "open3d",
         "spconv", "spconv.pytorch", "spconv.utils", "cumm", "cumm.tensorview",
         "timm", "timm.models", "timm.models.layers",
+        "mmcv", "mmcv.ops",
     ):
         _stub_module(n)
     _stub_module("icecream", ic=lambda *a, **k: (a[0] if a else None))

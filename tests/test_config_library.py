@@ -66,6 +66,28 @@ def _build_batch(hypes, layout):
             if key.startswith("cam_"):
                 batch[key] = {kk: vv[None] for kk, vv in v.items()}
 
+    if core == "point_pillar_bm2cp":  # flat multimodal: per-slot camera
+        img = margs["img_params"]
+        h, w = img["data_aug_conf"]["final_dim"]
+        L = layout.total
+        batch["cam_vehicle"] = {
+            "imgs": rng.uniform(0, 1, (1, L, 1, h, w, 3)).astype(np.float32),
+            "depth_maps": rng.integers(
+                0, img["grid_conf"]["ddiscr"][2], (1, L, 1, h, w)
+            ).astype(np.float32),
+            "intrinsics": np.broadcast_to(
+                np.eye(3, dtype=np.float32) * 50, (1, L, 1, 3, 3)
+            ).copy(),
+            "rots": np.broadcast_to(
+                np.eye(3, dtype=np.float32), (1, L, 1, 3, 3)
+            ).copy(),
+            "trans": np.zeros((1, L, 1, 3), np.float32),
+            "post_rots": np.broadcast_to(
+                np.eye(3, dtype=np.float32), (1, L, 1, 3, 3)
+            ).copy(),
+            "post_trans": np.zeros((1, L, 1, 3), np.float32),
+        }
+
     if any(k in core for k in ("scope", "how2comm")):  # K-frame stacks
         t_frames = 2
         frame_keys = ["points", "points_mask", "agent_mask", "pairwise_t_full"]

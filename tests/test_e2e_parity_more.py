@@ -374,3 +374,262 @@ def test_flat_where2comm_lrf_e2e_parity():
         err = np.abs(got - want).max()
         scale = max(np.abs(want).max(), 1.0)
         assert err < 2e-3 * scale, f"where2comm_lrf {k} e2e mismatch {err}"
+
+
+def test_flat_where2comm_bm2cp_e2e_parity():
+    """The where2comm_attn variant (point_pillar_where2comm_bm2cp):
+    multi-scale per-pixel agent attention over warped slots with
+    confidence-mask communication, vs the reference's actual model.
+    Reference quirks: its Transformer agg mode is non-functional upstream
+    (the multi-scale loop calls TransformerFusion with 1 of 4 required
+    args, and the single-scale init never sets fuse_modules), so the e2e
+    runs the working ATTEN mode; the flax TransformerFusion is covered by
+    module-level parity below."""
+    from opencood.models.point_pillar_where2comm_bm2cp import (
+        PointPillarWhere2comm as RefW2CAttn,
+    )
+
+    from tests.test_flat_e2e_parity import _args, _hypes_for, _shared_inputs
+
+    args = _args()
+    args["backbone_fix"] = False
+    args["shrink_header"] = {
+        "use": True, "input_dim": 384, "dim": [256],
+        "kernal_size": [3], "stride": [1], "padding": [1],
+    }
+    args["fusion_args"] = {
+        "voxel_size": args["voxel_size"],
+        "downsample_rate": 1,
+        "in_channels": 256,
+        "multi_scale": True,
+        "agg_operator": {"mode": "ATTEN"},
+        "communication": {
+            "thre": 0.01,
+            "gaussian_smooth": {"k_size": 5, "c_sigma": 1.0},
+        },
+        "layer_nums": args["base_bev_backbone"]["layer_nums"],
+        "num_filters": args["base_bev_backbone"]["num_filters"],
+    }
+    rng = np.random.default_rng(101)
+    data_dict, batch = _shared_inputs(args, rng)
+    torch.manual_seed(103)
+    with patched_cuda_to_cpu():
+        ref = RefW2CAttn(args).eval()
+        randomize_batchnorms(ref, rng)
+        with torch.no_grad():
+            out_ref = ref(data_dict)
+
+    hypes = _hypes_for("point_pillar_where2comm_bm2cp", args)
+    model = build_model(hypes)
+    variables = jax.jit(lambda r, b: model.init(r, b, train=False))(
+        {"params": jax.random.PRNGKey(0), "comm": jax.random.PRNGKey(1)},
+        batch,
+    )
+    asg = tc.CONVERTERS["point_pillar_where2comm_bm2cp"](
+        {k: v for k, v in ref.state_dict().items()},
+        jax.tree.map(np.asarray, dict(variables)), hypes,
+    )
+    assert not asg.skipped, asg.skipped[:8]
+    assert asg.torch_leftovers == [], asg.torch_leftovers[:8]
+    out = model.apply(asg.variables, batch, train=False)
+    for k in ("psm", "rm"):
+        want = out_ref[k].permute(0, 2, 3, 1).numpy()
+        got = np.asarray(out[k])
+        assert got.shape == want.shape, (k, got.shape, want.shape)
+        err = np.abs(got - want).max()
+        scale = max(np.abs(want).max(), 1.0)
+        assert err < 2e-3 * scale, f"where2comm_attn {k} e2e mismatch {err}"
+
+
+def test_where2comm_attn_encode_layer_parity():
+    """EncodeLayer (where2comm_attn.py:79-118) module-level parity: torch
+    MultiheadAttention (packed qkv) + FFN + LayerNorms vs the flax twin
+    with converted weights."""
+    from opencood.models.where2comm_modules.where2comm_attn import (
+        EncodeLayer as RefEncode,
+    )
+
+    from airv2x_tpu.models.fusion.where2comm_attn import EncodeLayer
+
+    c, heads, l, p = 32, 4, 3, 24
+    torch.manual_seed(107)
+    ref = RefEncode(c, n_head=heads, dropout=0).eval()
+    rng = np.random.default_rng(109)
+    q = rng.normal(size=(1, p, c)).astype(np.float32)
+    k = rng.normal(size=(l, p, c)).astype(np.float32)
+    v = rng.normal(size=(l, p, c)).astype(np.float32)
+    with torch.no_grad():
+        want = ref(torch.tensor(q), torch.tensor(k), torch.tensor(v)).numpy()
+
+    model = EncodeLayer(channels=c, n_head=heads)
+    # flax layout: (B, P, L, C) with the agent axis as attention keys
+    jq = jnp.asarray(q.transpose(1, 0, 2))[None]
+    jk = jnp.asarray(k.transpose(1, 0, 2))[None]
+    jv = jnp.asarray(v.transpose(1, 0, 2))[None]
+    variables = model.init(jax.random.PRNGKey(0), jq, jk, jv)
+    asg = tc.Assigner(jax.tree.map(np.asarray, dict(variables)))
+    tc.convert_encode_layer(tc.TorchState(ref.state_dict()), asg, ())
+    assert not asg.skipped, asg.skipped
+    out = model.apply(asg.variables, jq, jk, jv)
+    got = np.asarray(out)[0].transpose(1, 0, 2)  # (1, P, C) torch layout
+    err = np.abs(got - want).max()
+    assert err < 2e-4, f"encode layer mismatch {err}"
+
+
+def test_flat_bm2cp_e2e_parity():
+    """Flat BM2CP (point_pillar_bm2cp): pillar volume + EfficientNet camera
+    lift with observed-depth one-hot blending + occupancy-routed
+    MultiModalFusion + AttenComm collaboration, vs the reference's actual
+    torch model (functional efficientnet backend, CPU QuickCumsum)."""
+    from tests.reference_stubs import install_camera_backends
+
+    install_camera_backends()
+
+    from opencood.models.point_pillar_bm2cp import (
+        PointPillarBM2CP as RefBM2CP,
+    )
+
+    from tests.test_flat_e2e_parity import _shared_inputs
+
+    GRID = 32
+    lidar_range = [-6.4, -6.4, -3, 6.4, 6.4, 1]
+    img_params = {
+        "grid_conf": {
+            "xbound": [-6.4, 6.4, 0.4],
+            "ybound": [-6.4, 6.4, 0.4],
+            "zbound": [-3, 1, 4.0],
+            "ddiscr": [2, 50, 6],
+            "mode": "LID",
+        },
+        "data_aug_conf": {"final_dim": [64, 96]},
+        "img_downsample": 8,
+        "bev_dim": 64,
+        "use_depth_gt": False,
+        "depth_supervision": True,
+    }
+    args = {
+        "device": "cpu",
+        "supervise_single": False,
+        "backbone_fix": False,
+        "anchor_number": 2,
+        "outC": 256,
+        "img_params": img_params,
+        "pc_params": {
+            "voxel_size": [0.4, 0.4, 4],
+            "lidar_range": lidar_range,
+            "pillar_vfe": {
+                "use_norm": True,
+                "with_distance": False,
+                "use_absolute_xyz": True,
+                "num_filters": [64],
+            },
+            "point_pillar_scatter": {
+                "num_features": 64,
+                "grid_size": np.array([GRID, GRID, 1]),
+            },
+        },
+        "modality_fusion": {
+            "bev_backbone": {
+                "multi_scale": True,
+                "layer_nums": [1, 1, 1],
+                "layer_strides": [2, 2, 2],
+                "num_filters": [64, 128, 256],
+                "upsample_strides": [1, 2, 4],
+                "num_upsample_filter": [128, 128, 128],
+            },
+            "shrink_header": {
+                "use": True, "input_dim": 384, "dim": [256],
+                "kernal_size": [3], "stride": [1], "padding": [1],
+            },
+        },
+        "collaborative_fusion": {
+            "voxel_size": [0.4, 0.4, 4],
+            "downsample_rate": 1,
+            "multi_scale": True,
+            "layer_nums": [1, 1, 1],
+            "num_filters": [64, 128, 256],
+            "agg_operator": {"feature_dim": 256},
+        },
+    }
+    flat_args = dict(args)
+    flat_args["voxel_size"] = [0.4, 0.4, 4]
+    flat_args["lidar_range"] = lidar_range
+    flat_args["pillar_vfe"] = args["pc_params"]["pillar_vfe"]
+    flat_args["point_pillar_scatter"] = args["pc_params"]["point_pillar_scatter"]
+    rng = np.random.default_rng(113)
+    data_dict, batch = _shared_inputs(flat_args, rng)
+
+    # per-agent single-camera inputs; depth in BIN units, -1 = unobserved
+    L, H, W = 2, 64, 96
+    imgs = rng.uniform(0, 1, (L, 1, 3, H, W)).astype(np.float32)
+    depth = rng.integers(0, 6, (L, 1, H, W)).astype(np.float32)
+    depth[:, :, ::3] = -1.0
+    intr = np.zeros((L, 1, 3, 3), np.float32)
+    intr[..., 0, 0] = intr[..., 1, 1] = 80.0
+    intr[..., 0, 2], intr[..., 1, 2] = 48.0, 32.0
+    intr[..., 2, 2] = 1.0
+    rots = np.zeros((L, 1, 3, 3), np.float32)
+    rots[..., 0, 2] = 1.0
+    rots[..., 1, 0] = -1.0
+    rots[..., 2, 1] = -1.0
+    trans = rng.uniform(-0.5, 0.5, (L, 1, 3)).astype(np.float32)
+    post_rots = np.broadcast_to(np.eye(3, dtype=np.float32), (L, 1, 3, 3)).copy()
+    post_trans = np.zeros((L, 1, 3), np.float32)
+    data_dict["image_inputs"] = {
+        "imgs": torch.tensor(imgs),
+        "depth_map": torch.tensor(depth),
+        "intrins": torch.tensor(intr),
+        "rots": torch.tensor(rots),
+        "trans": torch.tensor(trans),
+        "post_rots": torch.tensor(post_rots),
+        "post_trans": torch.tensor(post_trans),
+    }
+    batch["cam_vehicle"] = {
+        "imgs": jnp.asarray(np.moveaxis(imgs, 2, -1))[None],
+        "depth_maps": jnp.asarray(depth)[None],
+        "intrinsics": jnp.asarray(intr)[None],
+        "rots": jnp.asarray(rots)[None],
+        "trans": jnp.asarray(trans)[None],
+        "post_rots": jnp.asarray(post_rots)[None],
+        "post_trans": jnp.asarray(post_trans)[None],
+    }
+
+    torch.manual_seed(127)
+    with patched_cuda_to_cpu():
+        ref = RefBM2CP(args).eval()
+        randomize_batchnorms(ref, rng)
+        with torch.no_grad():
+            out_ref = ref(data_dict)
+
+    hypes = {
+        "model": {"core_method": "point_pillar_bm2cp", "args": flat_args},
+        "preprocess": {
+            "cav_lidar_range": lidar_range,
+            "args": {
+                "voxel_size": [0.4, 0.4, 4],
+                "max_voxel_train": 512,
+                "max_points_per_voxel": 8,
+                "fast_pillars": False,
+            },
+        },
+        "postprocess": {"max_num": 20},
+    }
+    model = build_model(hypes)
+    variables = jax.jit(lambda r, b: model.init(r, b, train=False))(
+        {"params": jax.random.PRNGKey(0), "comm": jax.random.PRNGKey(1)},
+        batch,
+    )
+    asg = tc.CONVERTERS["point_pillar_bm2cp"](
+        {k: v for k, v in ref.state_dict().items()},
+        jax.tree.map(np.asarray, dict(variables)), hypes,
+    )
+    assert not asg.skipped, asg.skipped[:8]
+    assert asg.torch_leftovers == [], asg.torch_leftovers[:8]
+    out = model.apply(asg.variables, batch, train=False)
+    for k in ("psm", "rm"):
+        want = out_ref[k].permute(0, 2, 3, 1).numpy()
+        got = np.asarray(out[k])
+        assert got.shape == want.shape, (k, got.shape, want.shape)
+        err = np.abs(got - want).max()
+        scale = max(np.abs(want).max(), 1.0)
+        assert err < 3e-3 * scale, f"bm2cp {k} e2e mismatch {err}"

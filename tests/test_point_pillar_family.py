@@ -155,10 +155,19 @@ def test_binary_loss():
 
 
 def test_coalign_forward():
-    hypes = _hypes(
-        "point_pillar_coalign",
-        {"coalign_fusion": {"discrete_ratio": 0.4, "downsample_rate": 2}},
-    )
+    extra = {
+        "voxel_size": [0.4, 0.4, 4],
+        "res_bev_backbone": {
+            "layer_nums": [1, 1],
+            "layer_strides": [2, 2],
+            "num_filters": [16, 32],
+            "upsample_strides": [1, 2],
+            "num_upsample_filter": [16, 16],
+        },
+    }
+    hypes = _hypes("point_pillar_coalign", extra)
+    del hypes["model"]["args"]["base_bev_backbone"]
+    del hypes["model"]["args"]["shrink_header"]
     from airv2x_tpu.models import build_model
     import jax, jax.numpy as jnp
     model = build_model(hypes)
