@@ -32,7 +32,11 @@ from airv2x_tpu.ops.warp import (
 @register_model("point_pillar_coalign")
 class PointPillarCoAlign(PointPillarBase):
     def setup_fusion(self):
-        self._discrete_ratio = float(self.args["voxel_size"][0])
+        # the reference yaml carries voxel_size in the model args
+        # (opv2v_coalign.yaml); variants without it (e.g. _lrf) share the
+        # preprocess grid.
+        vs = self.args.get("voxel_size") or self.pre["args"]["voxel_size"]
+        self._discrete_ratio = float(vs[0])
 
     def _compressor_width(self):
         bb = self.args.get("res_bev_backbone") or self.args["base_bev_backbone"]
