@@ -40,7 +40,57 @@ from __future__ import annotations
 from typing import Any, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
+
+
+def cell_mean_sums(resid, iy, ix, w, ny, nx, dtype, chunk=2048):
+    """Per-cell [count, sum(resid)] via one-hot bilinear matmuls on the MXU.
+
+    The per-cell sum S[y, x, c] = sum_p 1[iy_p = y] * 1[ix_p = x] * v_p[c]
+    is a bilinear form in the two one-hot factors, so it maps to matmuls
+    (MXU, ~1-2 ms for 120k points) instead of a scatter-add (~4.3 ms at
+    XLA's ~25k update rows/ms — see doc/performance.md). ``resid`` must be
+    cell-center residuals (|r| <= voxel_size/2): the tiny dynamic range
+    makes bf16 operands exact to ~1e-3 absolute, and accumulation is f32.
+
+    resid (m, n, 3), iy/ix (m, n) int32, w (m, n) float {0,1} ->
+    (m, ny, nx, 4) f32 sums [count, sum rx, sum ry, sum rz].
+    """
+    m, n = w.shape
+    chunk = min(chunk, max(n, 1))
+    pad = (-n) % chunk
+    if pad:
+        resid = jnp.pad(resid, ((0, 0), (0, pad), (0, 0)))
+        iy = jnp.pad(iy, ((0, 0), (0, pad)))
+        ix = jnp.pad(ix, ((0, 0), (0, pad)))
+        w = jnp.pad(w, ((0, 0), (0, pad)))
+    steps = (n + pad) // chunk
+    vals = jnp.concatenate(
+        [w[..., None], resid * w[..., None]], axis=-1
+    ).astype(dtype)
+    xs = (
+        iy.reshape(m, steps, chunk).transpose(1, 0, 2),
+        ix.reshape(m, steps, chunk).transpose(1, 0, 2),
+        vals.reshape(m, steps, chunk, 4).transpose(1, 0, 2, 3),
+    )
+    ygrid = jnp.arange(ny, dtype=jnp.int32)
+    xgrid = jnp.arange(nx, dtype=jnp.int32)
+
+    def body(acc, sl):
+        iyc, ixc, vc = sl
+        y1 = (iyc[..., None] == ygrid).astype(dtype)  # (m, chunk, ny)
+        x1 = (ixc[..., None] == xgrid).astype(dtype)  # (m, chunk, nx)
+        yv = (y1[..., None] * vc[:, :, None, :]).reshape(m, chunk, ny * 4)
+        acc = acc + jax.lax.dot_general(
+            x1, yv,
+            dimension_numbers=(((1,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (m, nx, ny*4)
+        return acc, ()
+
+    acc, _ = jax.lax.scan(body, jnp.zeros((m, nx, ny * 4), jnp.float32), xs)
+    return acc.reshape(m, nx, ny, 4).transpose(0, 2, 1, 3)
 
 
 def point_cell_ids(points, mask, lidar_range, voxel_size, nx, ny):
@@ -127,14 +177,6 @@ class FastPillarBEV(nn.Module):
         pts = pts_flat.astype(self.dtype)
         w = valid.astype(jnp.float32)
 
-        # per-cell mean via one fused scatter-add of [1, x, y, z]
-        ones_xyz = jnp.concatenate(
-            [w[:, None], pts[:, :3].astype(jnp.float32) * w[:, None]], axis=1
-        )
-        cell_sums = jnp.zeros((m * cells, 4), jnp.float32).at[gids].add(ones_xyz)
-        mean = cell_sums[:, 1:] / jnp.maximum(cell_sums[:, :1], 1.0)
-        f_cluster = pts[:, :3] - mean[gids].astype(self.dtype)
-
         # cell-center offsets (identical formula to augment_pillar_points)
         ovs = self.offset_voxel_size or vs
         olr = self.offset_lidar_range or lr
@@ -144,34 +186,163 @@ class FastPillarBEV(nn.Module):
         f_center = jnp.stack(
             [pts[:, 0] - cx, pts[:, 1] - cy, pts[:, 2] - cz], axis=-1
         )
+        prefix = pts if self.use_absolute_xyz else pts[:, 3:]
 
-        feats = [pts if self.use_absolute_xyz else pts[:, 3:], f_cluster, f_center]
+        from airv2x_tpu.models.nn import MaskedBatchNorm  # lazy: avoids
+        # ops <-> models registry import cycle
+
+        dense = nn.Dense(out_c, use_bias=not self.use_norm, dtype=self.dtype)
+        bn = MaskedBatchNorm(dtype=self.dtype) if self.use_norm else None
+        neg = jnp.asarray(-1e9, self.dtype)
+
+        if train:
+            return self._train_path(
+                pts, prefix, f_center, valid, gids, dense, bn, neg,
+                lead, m, cells, nx, ny, out_c,
+            )
+
+        # ---- fused eval path: ONE scatter instead of two + a gather ----
+        # In eval mode BN is a fixed per-channel affine a*x + b, and
+        # relu(a*x+b) is monotone in x (non-decreasing for a>=0, non-
+        # increasing for a<0), so the per-pillar max commutes with the
+        # whole PFN head. The pillar mean enters every point of a cell
+        # through the SAME term W_cl @ mean_cell (W_cl = the f_cluster rows
+        # of the dense kernel), so:
+        #   feat_cell = relu(bn(smax_cell - W_cl @ mean_cell))
+        # where smax_cell[c] = max_p u_p[c] if a_c >= 0 else min_p u_p[c]
+        # and u_p = dense([prefix, xyz, f_center]). The per-point side is
+        # one matmul + one scatter-max; the mean-gather disappears and the
+        # cell-mean sums run on the MXU (cell_mean_sums) instead of a
+        # scatter-add. Same math as the reference PFN
+        # (airv2x_pillar_vfe.py:52-160) up to fp reassociation.
+        feats = [prefix, pts[:, :3], f_center]
+        if self.with_distance:
+            feats.append(jnp.linalg.norm(pts[:, :3], axis=-1, keepdims=True))
+        x_tilde = jnp.concatenate(feats, axis=-1)
+        x_tilde = jnp.where(valid[:, None], x_tilde, 0.0)
+        d_in = x_tilde.shape[-1]
+        u = dense(x_tilde)  # (N, C), bias (if any) included once
+
+        if self.use_norm:
+            # read the eval affine off the module itself so dtype rounding
+            # matches the per-point path: bn(0) = b, diag(bn(I)) = a + b
+            probe = bn(
+                jnp.concatenate(
+                    [jnp.zeros((1, out_c), self.dtype),
+                     jnp.eye(out_c, dtype=self.dtype)], axis=0
+                ),
+                jnp.zeros((out_c + 1,), bool),
+                False,
+            )
+            b_aff = probe[0]
+            a_aff = jnp.diagonal(probe[1:]) - b_aff
+            flip = jnp.where(a_aff >= 0, 1.0, -1.0).astype(self.dtype)
+        else:
+            flip = jnp.ones((out_c,), self.dtype)
+
+        uf = jnp.where(valid[:, None], u * flip, neg)
+        smax = jnp.full((m * cells, out_c), neg, self.dtype).at[gids].max(uf)
+
+        # per-cell means from MXU bilinear sums over cell-center residuals
+        # (grid constants, NOT the offset constants: the residual range
+        # must be bounded by the grid voxel for bf16 accuracy)
+        gx = ((ids % nx).astype(self.dtype) + 0.5) * vs[0] + lr[0]
+        gy = ((ids // nx).astype(self.dtype) + 0.5) * vs[1] + lr[1]
+        gz = jnp.full_like(gx, vs[2] / 2 + lr[2])
+        resid = jnp.stack(
+            [pts[:, 0] - gx, pts[:, 1] - gy, pts[:, 2] - gz], axis=-1
+        ).reshape(m, n, 3)
+        sums = cell_mean_sums(
+            resid,
+            (ids // nx).reshape(m, n),
+            (ids % nx).reshape(m, n),
+            w.reshape(m, n),
+            ny, nx, self.dtype,
+        )  # (m, ny, nx, 4) f32
+        cnt = sums[..., 0].reshape(m * cells)
+        ccx = (jnp.arange(nx, dtype=jnp.float32) + 0.5) * vs[0] + lr[0]
+        ccy = (jnp.arange(ny, dtype=jnp.float32) + 0.5) * vs[1] + lr[1]
+        denom = jnp.maximum(sums[..., :1], 1.0)
+        mean = jnp.stack(
+            [
+                sums[..., 1] / denom[..., 0] + ccx[None, None, :],
+                sums[..., 2] / denom[..., 0] + ccy[None, :, None],
+                sums[..., 3] / denom[..., 0] + (vs[2] / 2 + lr[2]),
+            ],
+            axis=-1,
+        ).reshape(m * cells, 3).astype(self.dtype)
+
+        # W_cl @ mean via the dense module itself (mean embedded in the
+        # f_cluster slot, bias removed with a zero probe) — keeps the
+        # kernel access inside the module's own arithmetic
+        pw = prefix.shape[-1]
+        emb = jnp.concatenate(
+            [
+                jnp.zeros((m * cells, pw), self.dtype),
+                mean,
+                jnp.zeros((m * cells, d_in - pw - 3), self.dtype),
+            ],
+            axis=-1,
+        )
+        zrow = jnp.zeros((1, d_in), self.dtype)
+        m_cell = dense(emb) - dense(zrow)
+
+        v = smax * flip - m_cell
+        if self.use_norm:
+            v = bn(v, jnp.zeros((m * cells,), bool), False)
+        feat = nn.relu(v)
+
+        # relu(bn(dense(0))): the constant the reference's zeroed padding
+        # rows contribute to every non-full pillar's max
+        # (airv2x_pillar_vfe.py:152-158), applied as a floor to occupied
+        # cells; the only deviation left is pillars with exactly
+        # max_points_per_voxel points, which have no padding rows there.
+        pf = dense(zrow)
+        if self.use_norm:
+            pf = bn(pf, jnp.zeros((1,), bool), False)
+        pad_floor = nn.relu(pf)[0]
+
+        occupied = cnt[:, None] > 0
+        grid = jnp.where(
+            occupied, jnp.maximum(feat, pad_floor[None, :]), 0.0
+        )
+        return grid.reshape(lead + (ny, nx, out_c))
+
+    def _train_path(
+        self, pts, prefix, f_center, valid, gids, dense, bn, neg,
+        lead, m, cells, nx, ny, out_c,
+    ):
+        """Classic two-scatter path (training needs per-point BN batch
+        statistics over the full augmented features, which the fused eval
+        decomposition does not produce)."""
+        w = valid.astype(jnp.float32)
+        # per-cell mean via one fused scatter-add of [1, x, y, z]
+        ones_xyz = jnp.concatenate(
+            [w[:, None], pts[:, :3].astype(jnp.float32) * w[:, None]], axis=1
+        )
+        cell_sums = jnp.zeros((m * cells, 4), jnp.float32).at[gids].add(ones_xyz)
+        mean = cell_sums[:, 1:] / jnp.maximum(cell_sums[:, :1], 1.0)
+        f_cluster = pts[:, :3] - mean[gids].astype(self.dtype)
+
+        feats = [prefix, f_cluster, f_center]
         if self.with_distance:
             feats.append(jnp.linalg.norm(pts[:, :3], axis=-1, keepdims=True))
         x = jnp.concatenate(feats, axis=-1)
         x = jnp.where(valid[:, None], x, 0.0)
 
-        from airv2x_tpu.models.nn import MaskedBatchNorm  # lazy: avoids
-        # ops <-> models registry import cycle
-
         # One all-zero probe row rides along (mask False so it never touches
-        # BN statistics): its output is relu(bn(0)) — the constant the
-        # reference's zeroed padding rows contribute to every non-full
-        # pillar's max (airv2x_pillar_vfe.py:152-158). We apply it as a
-        # floor to every occupied cell; the only deviation left is pillars
-        # with exactly max_points_per_voxel points, which have no padding
-        # rows in the reference.
+        # BN statistics): its output is relu(bn(0)) — the padding floor
+        # (see the eval path note above).
         probe = jnp.zeros((1, x.shape[-1]), x.dtype)
         x = jnp.concatenate([x, probe], axis=0)
         valid_ext = jnp.concatenate([valid, jnp.zeros((1,), bool)])
-        x = nn.Dense(out_c, use_bias=not self.use_norm, dtype=self.dtype)(x)
+        x = dense(x)
         if self.use_norm:
-            x = MaskedBatchNorm(dtype=self.dtype)(x, valid_ext, train)
+            x = bn(x, valid_ext, True)
         x = nn.relu(x)
         pad_floor = x[-1]  # (C,)
         x = x[:-1]
 
-        neg = jnp.asarray(-1e9, x.dtype)
         x = jnp.where(valid[:, None], x, neg)
         grid = jnp.full((m * cells, out_c), neg, x.dtype).at[gids].max(x)
         occupied = grid > neg / 2
