@@ -228,5 +228,19 @@ def load_lift_splat_shoot_params(param: dict) -> dict:
 
 @register_parser("load_airv2x_bm2cp_params")
 def load_airv2x_bm2cp_params(param: dict) -> dict:
-    """BM2CP deriver (yaml_utils.py:302-360): airv2x derivation applies."""
-    return load_airv2x_params(param)
+    """BM2CP deriver (yaml_utils.py:302-360): anchor W/H/D from the shared
+    grid plus per-type ``pc_params.point_pillar_scatter.grid_size``.
+
+    Upstream this function is unrunnable — it reads an undefined
+    ``rsu_lidar_range`` global (yaml_utils.py:328, NameError); both types
+    use the shared ``cav_lidar_range`` here, which is the upstream intent
+    (the TODO at yaml_utils.py:320 says veh & rsu share one config)."""
+    param = load_airv2x_params(param)
+    cav_lidar_range = param["preprocess"]["cav_lidar_range"]
+    voxel_size = param["preprocess"]["args"]["voxel_size"]
+    gs = _grid_size(cav_lidar_range, voxel_size)
+    for agent in ("vehicle", "rsu"):
+        cfg = param["model"]["args"].get(agent)
+        if cfg and "pc_params" in cfg:
+            cfg["pc_params"]["point_pillar_scatter"]["grid_size"] = gs
+    return param

@@ -130,25 +130,36 @@ class AirV2XDataset:
         # augmentation confs (intermediate_fusion_dataset.get_item_single_car
         # :490-583 loads + augments per-type cameras)
         margs = hypes["model"]["args"]
-        self.cam_confs = {}
-        self.cam_depth = {}
-        self.cam_grid = {}
-        for tname in AGENT_TYPES:
-            tcfg = margs.get(tname)
-            if isinstance(tcfg, dict) and "cam" in tcfg.get("modalities", []):
-                cam = tcfg["cam"]
-                self.cam_confs[tname] = cam["data_aug_conf"]
-                self.cam_depth[tname] = bool(
-                    cam.get("use_depth_gt") or cam.get("depth_supervision")
-                )
-                if "grid_conf" in cam:
-                    self.cam_grid[tname] = cam["grid_conf"]
         # BM2CP sample assembly: per-camera lidar-projected depth maps
         # (reference intermediate_fusion_dataset_bm2cp.py)
         fusion_core = str(hypes.get("fusion", {}).get("core_method", ""))
         self.bm2cp = "bm2cp" in (
             fusion_core + hypes["model"]["core_method"]
         ).lower()
+        self.cam_confs = {}
+        self.cam_depth = {}
+        self.cam_grid = {}
+        for tname in AGENT_TYPES:
+            tcfg = margs.get(tname)
+            if not isinstance(tcfg, dict):
+                continue
+            if "cam" in tcfg.get("modalities", []):
+                cam = tcfg["cam"]
+            elif self.bm2cp and "img_params" in tcfg:
+                # faithful BM2CP schema: veh/rsu camera confs live under
+                # img_params (airv2x_intermediate_bm2cp.yaml model.args)
+                cam = tcfg["img_params"]
+            elif self.bm2cp and "grid_conf" in tcfg and "data_aug_conf" in tcfg:
+                # BM2CP drone: flat LSS conf dict
+                cam = tcfg
+            else:
+                continue
+            self.cam_confs[tname] = cam["data_aug_conf"]
+            self.cam_depth[tname] = bool(
+                cam.get("use_depth_gt") or cam.get("depth_supervision")
+            )
+            if "grid_conf" in cam:
+                self.cam_grid[tname] = cam["grid_conf"]
         # K-frame temporal samples for SCOPE / How2comm
         # (intermediate_fusion_dataset_multi_frame_how2comm.py:28,93-104):
         # explicit fusion.args.num_sweep_frames, else the model's

@@ -280,3 +280,76 @@ def make_batch(
         batch["labels"]["dynamic_seg_label"] = dyn
         batch["labels"]["static_seg_label"] = np.zeros_like(dyn)
     return batch, gt
+
+
+def bm2cp_airv2x_batch(hypes: dict, rng: np.random.Generator,
+                       batch_size: int = 1):
+    """Synthetic batch for the faithful Airv2xBM2CP contract
+    (models/bm2cp_model.py): per-slot points + per-type camera dicts where
+    vehicle/rsu carry lidar-projected ``depth_maps`` in BIN units
+    (-1 = unobserved; intermediate_fusion_dataset_bm2cp.py:661-679) and the
+    drone is camera-only."""
+    args = hypes["model"]["args"]
+    layout = SlotLayout.from_args(args)
+    L = layout.total
+    lr = hypes["preprocess"]["cav_lidar_range"]
+    n_pts = 256
+    B = batch_size
+
+    pts = np.zeros((B, L, n_pts, 4), np.float32)
+    pts[..., 0] = rng.uniform(lr[0], lr[3], (B, L, n_pts))
+    pts[..., 1] = rng.uniform(lr[1], lr[4], (B, L, n_pts))
+    pts[..., 2] = rng.uniform(
+        max(lr[2], -2.5), min(lr[5], 0.5), (B, L, n_pts)
+    )
+    pts[..., 3] = rng.uniform(0, 1, (B, L, n_pts))
+    batch = {
+        "points": pts,
+        "points_mask": np.ones((B, L, n_pts), bool),
+        "agent_mask": np.ones((B, L), bool),
+        "pairwise_t_full": np.broadcast_to(
+            np.eye(4, dtype=np.float32), (B, L, L, 4, 4)
+        ).copy(),
+    }
+    for t in AGENT_TYPES:
+        if not layout.counts[AGENT_TYPES.index(t)]:
+            continue
+        cfg = args[t] if t == "drone" else args[t]["img_params"]
+        h, w = cfg["data_aug_conf"]["final_dim"]
+        nbins = int(cfg["grid_conf"]["ddiscr"][2])
+        ncam = 1
+        # drone LSS gt depth rides as a 4th image channel (metric);
+        # veh/rsu gt depth is the separate bin-unit depth_maps array
+        c = 4 if t == "drone" and cfg.get("use_depth_gt") else 3
+        imgs = rng.uniform(0, 1, (B, L, ncam, h, w, c)).astype(np.float32)
+        if c == 4:
+            d_min, d_max = cfg["grid_conf"]["ddiscr"][:2]
+            imgs[..., 3] = rng.uniform(d_min, d_max, (B, L, ncam, h, w))
+        intr = np.zeros((B, L, ncam, 3, 3), np.float32)
+        intr[..., 0, 0] = intr[..., 1, 1] = w * 0.8
+        intr[..., 0, 2], intr[..., 1, 2] = w / 2, h / 2
+        intr[..., 2, 2] = 1.0
+        rots = np.zeros((B, L, ncam, 3, 3), np.float32)
+        rots[..., 0, 2] = 1.0
+        rots[..., 1, 0] = -1.0
+        rots[..., 2, 1] = -1.0
+        cam = {
+            "imgs": imgs,
+            "intrinsics": intr,
+            "rots": rots,
+            "trans": rng.uniform(-0.5, 0.5, (B, L, ncam, 3)).astype(
+                np.float32
+            ),
+            "post_rots": np.broadcast_to(
+                np.eye(3, dtype=np.float32), (B, L, ncam, 3, 3)
+            ).copy(),
+            "post_trans": np.zeros((B, L, ncam, 3), np.float32),
+        }
+        if t != "drone":
+            dm = rng.integers(0, nbins, (B, L, ncam, h, w)).astype(
+                np.float32
+            )
+            dm[:, :, :, ::3] = -1.0
+            cam["depth_maps"] = dm
+        batch[f"cam_{t}"] = cam
+    return batch

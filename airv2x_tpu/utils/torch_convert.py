@@ -26,11 +26,7 @@ what our decode (data/postprocess.py) uses; detection scores/boxes are
 unaffected either way (tests/test_reference_golden.py
 ::test_postprocess_pipeline_parity).
 
-Structure mapping is per model family; see ``CONVERTERS``. BM2CP has no
-converter by design: the reference's LidarCamBM2CPEncoder voxel pipeline
-(bm2cp_modules/sensor_blocks.py) was re-designed here as the shared hetero
-encoder + a BEV-analog modal interaction (models/bm2cp_model.py docstring),
-so there is no weight-for-weight correspondence to map.
+Structure mapping is per model family; see ``CONVERTERS``.
 
 Structure mapping details: Every converter
 works on a ``TorchState`` scope (tracks consumed keys so leftovers are
@@ -1382,6 +1378,72 @@ def convert_point_pillar_bm2cp(sd: dict, variables: dict,
     return asg
 
 
+def _convert_multi_modal_fusion(ts: TorchState, asg: Assigner, scope: str,
+                                base: tuple):
+    """sensor_blocks.MultiModalFusion (:241-315): gated 3d convs +
+    ImgModalFusion channel-attention projection."""
+    convert_conv3d(ts, asg, base + ("multigate",), scope=f"{scope}.multigate")
+    convert_conv3d(ts, asg, base + ("multifuse",), scope=f"{scope}.multifuse")
+    convert_linear(ts, asg, base + ("img_proj",),
+                   scope=f"{scope}.img_fusion.proj")
+
+
+def convert_airv2x_bm2cp(sd: dict, variables: dict, hypes: dict) -> Assigner:
+    """Airv2xBM2CP (models/airv2x_bm2cp.py) -> faithful flax twin
+    (models/bm2cp_model.py): per-type LidarCamBM2CPEncoder (veh/rsu:
+    PillarVFE + ImgCamEncode + MultiModalFusion) and drone
+    LiftSplatShootEncoder (LSS CamEncode + BevEncode + MultiModalFusion
+    against the zero mock-lidar volume), bm2cp ResNetBEVBackbone, shrink,
+    optional compressor, det/seg heads; AttenComm is parameter-less."""
+    args = dict(hypes["model"]["args"])
+    args.setdefault("preprocess", hypes.get("preprocess"))
+    ts = TorchState(strip_module_prefix(sd))
+    asg = Assigner(variables)
+
+    collab = list(args.get("collaborators", ()))
+    for t, tname in (("vehicle", "veh_model"), ("rsu", "rsu_model")):
+        if t not in collab:
+            continue
+        pc = args[t]["pc_params"]
+        nf = pc["pillar_vfe"]["num_filters"]
+        convert_pillar_vfe(ts.sub(f"{tname}.pillar_vfe"), asg,
+                           (tname, "vfe"), fast=False, num_layers=len(nf))
+        img = args[t]["img_params"]
+        convert_img_cam_encode(ts.sub(f"{tname}.camencode"), asg,
+                               (tname, "camencode"),
+                               downsample=img["img_downsample"])
+        _convert_multi_modal_fusion(ts, asg, f"{tname}.intra_fusion",
+                                    (tname, "intra_fusion"))
+    if "drone" in collab:
+        convert_lss_encoder(ts.sub("drone_model"), asg,
+                            ("drone_model", "lss"), args["drone"])
+        _convert_multi_modal_fusion(ts, asg, "drone_model.intra_fusion",
+                                    ("drone_model", "intra_fusion"))
+
+    mod = args["modality_fusion"]
+    bb = mod["bev_backbone"]
+    convert_resnet_backbone(
+        ts.sub("backbone"), asg, ("backbone",),
+        layer_nums=bb["layer_nums"],
+        upsample_strides=bb.get("upsample_strides", ()),
+        layer_base=1,  # bm2cp_modules backbone uses common_modules/resblock
+    )
+    shrink = mod.get("shrink_header", {})
+    if shrink.get("use", bool(shrink.get("dim"))):
+        convert_downsample_conv(ts.sub("shrink_conv"), asg, ("shrink_conv",),
+                                n_layers=len(shrink["dim"]))
+    if int(mod.get("compression", 0) or 0) > 0:
+        convert_naive_compressor(ts.sub("naive_compressor"), asg,
+                                 ("compressor",))
+    if args.get("task", "det") == "det":
+        convert_det_heads(ts, asg)
+    else:
+        convert_seg_head(ts, asg)
+    _consume_scope(ts, "fusion_net")  # AttenComm is parameter-less
+    asg.torch_leftovers = ts.leftovers()
+    return asg
+
+
 def convert_point_pillar_coalign(sd: dict, variables: dict,
                                  hypes: dict) -> Assigner:
     """PointPillarCoAlign (models/point_pillar_coalign.py) -> faithful flax
@@ -1504,6 +1566,7 @@ CONVERTERS: dict[str, Callable[[dict, dict, dict], Assigner]] = {
     "point_pillar_scope": convert_point_pillar_scope,
     "point_pillar_where2comm_bm2cp": convert_point_pillar_where2comm_bm2cp,
     "point_pillar_bm2cp": convert_point_pillar_bm2cp,
+    "airv2x_bm2cp": convert_airv2x_bm2cp,
     "airv2x_early": convert_point_pillar_intermediate,
 }
 

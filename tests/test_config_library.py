@@ -66,6 +66,14 @@ def _build_batch(hypes, layout):
             if key.startswith("cam_"):
                 batch[key] = {kk: vv[None] for kk, vv in v.items()}
 
+    if core == "airv2x_bm2cp":  # faithful BM2CP: per-type cam + depth maps
+        from airv2x_tpu.data.synthetic import bm2cp_airv2x_batch
+
+        for key, v in bm2cp_airv2x_batch(hypes, rng).items():
+            if key.startswith("cam_"):
+                batch[key] = v
+        return batch
+
     if core == "point_pillar_bm2cp":  # flat multimodal: per-slot camera
         img = margs["img_params"]
         h, w = img["data_aug_conf"]["final_dim"]

@@ -181,39 +181,115 @@ def test_coalign_forward():
 
 
 def test_bm2cp_forward():
-    import copy
-    import os
-    from airv2x_tpu.config import load_yaml
-    from airv2x_tpu.data.synthetic import make_batch
+    """Faithful Airv2xBM2CP builds from reference-schema args and runs a
+    finite forward (veh LidarCam encoder + drone LSS encoder + AttenComm);
+    numeric parity lives in test_e2e_parity_more."""
+    from airv2x_tpu.data.synthetic import bm2cp_airv2x_batch
     from airv2x_tpu.models import build_model
-    from airv2x_tpu.models.base import SlotLayout
     import jax, jax.numpy as jnp
 
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    hypes = load_yaml(os.path.join(repo, "hypes_yaml/test/tiny_where2comm.yaml"))
-    hypes = copy.deepcopy(hypes)
-    hypes["model"]["core_method"] = "airv2x_bm2cp"
-    hypes["model"]["args"]["bm2cp_fusion"] = {
-        "communication": {
-            "threshold": 0.01,
-            "gaussian_smooth": {"k_size": 3, "c_sigma": 1.0},
-        }
-    }
+    hypes = _bm2cp_hypes()
     model = build_model(hypes)
-    layout = SlotLayout.from_args(hypes["model"]["args"])
-    rng = np.random.default_rng(1)
-    batch, _ = make_batch(
-        rng, layout, batch_size=1, num_objects=3, points_per_agent=512,
-        lidar_range=hypes["preprocess"]["cav_lidar_range"], max_boxes=50,
-        pts_per_box=30,
+    batch = jax.tree.map(
+        jnp.asarray, bm2cp_airv2x_batch(hypes, np.random.default_rng(1))
     )
-    batch = jax.tree.map(jnp.asarray, batch)
-    variables = jax.jit(lambda r, b: model.init(r, b, train=False))(
-        {"params": jax.random.PRNGKey(0), "comm": jax.random.PRNGKey(1)}, batch
+    variables = model.init(
+        {"params": jax.random.PRNGKey(0), "comm": jax.random.PRNGKey(1)},
+        batch, train=False,
     )
     out = model.apply(variables, batch, train=False)
-    assert out["psm"].shape == (1, 48, 48, 14)
+    assert out["psm"].shape == (1, 16, 16, 14)
     assert np.isfinite(np.asarray(out["psm"])).all()
+    assert np.isfinite(float(out["comm_rate"]))
+
+
+def _bm2cp_hypes():
+    lidar_range = [-6.4, -6.4, -3, 6.4, 6.4, 1]
+    grid_conf = {
+        "xbound": [-6.4, 6.4, 0.4],
+        "ybound": [-6.4, 6.4, 0.4],
+        "zbound": [-3, 1, 4.0],
+        "ddiscr": [2, 50, 6],
+        "mode": "LID",
+    }
+    img_params = {
+        "grid_conf": grid_conf,
+        "data_aug_conf": {"final_dim": [64, 96]},
+        "img_downsample": 8,
+        "bev_dim": 64,
+        "use_depth_gt": False,
+        "depth_supervision": True,
+    }
+    pc_params = {
+        "voxel_size": [0.4, 0.4, 4],
+        "lidar_range": lidar_range,
+        "pillar_vfe": {
+            "use_norm": True, "with_distance": False,
+            "use_absolute_xyz": True, "num_filters": [64],
+        },
+        "point_pillar_scatter": {"num_features": 64},
+    }
+    args = {
+        "ego_type": "vehicle",
+        "collaborators": ["vehicle", "drone"],
+        "active_sensors": ["lidar"],
+        "max_cav": {"vehicle": 1, "rsu": 0, "drone": 1},
+        "proj_first": True,
+        "supervise_single": False,
+        "backbone_fix": False,
+        "vehicle": {"img_params": img_params, "pc_params": pc_params},
+        "drone": {
+            "grid_conf": grid_conf,
+            "data_aug_conf": {"final_dim": [64, 96]},
+            "img_downsample": 8,
+            "img_features": 64,
+            "bevout_feature": 64,
+            "bev_dim": 64,
+            "camera_encoder": "EfficientNet",
+            "use_depth_gt": False,
+            "depth_supervision": False,
+        },
+        "modality_fusion": {
+            "bev_backbone": {
+                "multi_scale": True,
+                "layer_nums": [1, 1, 1],
+                "layer_strides": [2, 2, 2],
+                "num_filters": [64, 128, 256],
+                "upsample_strides": [1, 2, 4],
+                "num_upsample_filter": [128, 128, 128],
+            },
+            "shrink_header": {
+                "use": True, "input_dim": 384, "dim": [256],
+                "kernal_size": [3], "stride": [1], "padding": [1],
+            },
+            "compression": 0,
+        },
+        "collaborative_fusion": {
+            "voxel_size": [0.4, 0.4, 4],
+            "downsample_rate": 1,
+            "multi_scale": True,
+            "layer_nums": [1, 1, 1],
+            "num_filters": [64, 128, 256],
+            "agg_operator": {"feature_dim": 256},
+        },
+        "task": "det",
+        "anchor_number": 2,
+        "num_class": 7,
+        "obj_head": True,
+        "outC": 256,
+    }
+    return {
+        "model": {"core_method": "airv2x_bm2cp", "args": args},
+        "preprocess": {
+            "cav_lidar_range": lidar_range,
+            "args": {
+                "voxel_size": [0.4, 0.4, 4],
+                "max_voxel_train": 512,
+                "max_points_per_voxel": 8,
+            },
+        },
+        "postprocess": {"max_num": 20},
+    }
 
 
 def test_early_fusion_forward():
@@ -279,27 +355,32 @@ def test_late_fusion_decode():
 
 
 def test_bm2cp_multimodal_fusion_semantics():
-    """sensor_blocks MultiModalFusion twin: lidar-only pixels keep lidar,
-    thres_map is 0 only where both modalities see the pixel."""
+    """sensor_blocks MultiModalFusion (:241-315) twin: lidar-only voxels
+    keep lidar, thres_map is 0 only where both modalities see the voxel
+    (torch numeric parity lives in test_e2e_parity_more)."""
     import jax
     import jax.numpy as jnp
 
-    from airv2x_tpu.models.bm2cp_model import MultiModalBEVFusion
+    from airv2x_tpu.models.fusion.bm2cp_flat import MultiModalFusion
 
-    pc = np.zeros((1, 4, 4, 8), np.float32)
-    img = np.zeros((1, 4, 4, 8), np.float32)
-    pc[0, :2] = 1.0        # rows 0-1: lidar
-    img[0, 1:3] = 0.5      # rows 1-2: camera -> row 1 is "both"
+    pc = np.zeros((1, 1, 4, 4, 8), np.float32)
+    img = np.zeros((1, 1, 4, 4, 8), np.float32)
+    pc[0, 0, :2] = 1.0        # rows 0-1: lidar
+    img[0, 0, 1:3] = 0.5      # rows 1-2: camera -> row 1 is "both"
     pc, img = jnp.asarray(pc), jnp.asarray(img)
 
-    mod = MultiModalBEVFusion()
+    mod = MultiModalFusion(dim=8)
     v = mod.init(jax.random.PRNGKey(0), img, pc)
-    fused, thres = mod.apply(v, img, pc)
-    t = np.asarray(thres)[0]
+    fused, thres, mask = mod.apply(v, img, pc)
+    t = np.asarray(thres)[0, ..., 0]
     assert np.all(t[1] == 0.0)            # both modalities
     assert np.all(t[0] == 0.5) and np.all(t[2] == 0.5)
     assert np.all(t[3] == 0.5)            # neither
     # lidar-only row passes lidar features through unchanged
-    np.testing.assert_allclose(np.asarray(fused)[0, 0], np.asarray(pc)[0, 0])
+    np.testing.assert_allclose(np.asarray(fused)[0, 0], np.asarray(pc)[0, 0, 0])
     # empty row stays empty
     assert float(jnp.abs(fused[0, 3]).max()) == 0.0
+    # mask codes: 1=both, 2=lidar-only, 3=cam-only, 4=neither
+    m = np.asarray(mask)[0, ..., 0]
+    assert np.all(m[0] == 2) and np.all(m[1] == 1)
+    assert np.all(m[2] == 3) and np.all(m[3] == 4)
