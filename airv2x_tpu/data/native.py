@@ -119,3 +119,43 @@ def load_pcd_into(
     n = min(len(pts), out.shape[0])
     out[:n] = pts[:n]
     return n
+
+
+def load_pcd_label_into(
+    path: str,
+    out: np.ndarray,
+    clean: np.ndarray,
+    *,
+    transform: np.ndarray | None = None,
+    lidar_range=None,
+    ego_mask: float = 0.0,
+) -> int:
+    """Like ``load_pcd_into`` but also extracts the V2X-R per-point weather
+    label (green color channel; reference pcd_utils.pcd_to_np
+    get_weather=True) — ``clean[i]`` is True where the point is real
+    (label == 0, basedataset.py:358's ``de_lidar_np`` selection). Pure
+    python: the label column only exists in the simulated-weather V2X-R
+    clouds, which the MDD training path reads."""
+    from airv2x_tpu.data.pcd import read_pcd
+    from airv2x_tpu.utils.transforms import transform_points
+
+    pts, label = read_pcd(path, return_label=True)
+    if ego_mask > 0:
+        keep = ~(
+            (np.abs(pts[:, 0]) < ego_mask) & (np.abs(pts[:, 1]) < ego_mask)
+        )
+        pts, label = pts[keep], label[keep]
+    if transform is not None:
+        pts = transform_points(pts, transform).astype(np.float32)
+    if lidar_range is not None:
+        lr = lidar_range
+        keep = (
+            (pts[:, 0] > lr[0]) & (pts[:, 0] < lr[3])
+            & (pts[:, 1] > lr[1]) & (pts[:, 1] < lr[4])
+            & (pts[:, 2] > lr[2]) & (pts[:, 2] < lr[5])
+        )
+        pts, label = pts[keep], label[keep]
+    n = min(len(pts), out.shape[0])
+    out[:n] = pts[:n]
+    clean[:n] = label[:n] == 0
+    return n

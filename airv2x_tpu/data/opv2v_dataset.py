@@ -92,6 +92,10 @@ class OPV2VDataset:
         # K-frame temporal samples (SCOPE / How2comm OPV2V families,
         # intermediate_fusion_dataset_multi_frame_how2comm.py:28,93-104)
         core = str(hypes.get("model", {}).get("core_method", "")).lower()
+        # MDD training consumes the clean-points twin of each degraded
+        # sweep (basedataset.py:350-358: weather label == 0 selects
+        # ``de_lidar_np``); surfaced as de_points_mask over the same slots
+        self.with_de = "mdd" in core and train
         self.frames = int(
             hypes.get("fusion", {}).get("args", {}).get("num_sweep_frames", 0)
             or (
@@ -192,6 +196,7 @@ class OPV2VDataset:
         L, n = self.layout.total, self.max_points
         points = np.zeros((L, n, 4), np.float32)
         points_mask = np.zeros((L, n), bool)
+        clean = np.ones((L, n), bool)
         radar_points = np.zeros((L, n // 4, 4), np.float32)
         radar_mask = np.zeros((L, n // 4), bool)
         agent_mask = np.zeros((L,), bool)
@@ -212,14 +217,27 @@ class OPV2VDataset:
 
             pcd = os.path.join(spath, cav, f"{stamp}.pcd")
             if os.path.isfile(pcd):
-                cnt = load_pcd_into(
-                    pcd,
-                    points[slot],
-                    transform=t_cav_ego.astype(np.float32)
-                    if self.proj_first else None,
-                    lidar_range=np.asarray(self.lidar_range, np.float32),
-                    ego_mask=2.0,
-                )
+                if self.with_de:
+                    from airv2x_tpu.data.native import load_pcd_label_into
+
+                    cnt = load_pcd_label_into(
+                        pcd,
+                        points[slot],
+                        clean[slot],
+                        transform=t_cav_ego.astype(np.float32)
+                        if self.proj_first else None,
+                        lidar_range=np.asarray(self.lidar_range, np.float32),
+                        ego_mask=2.0,
+                    )
+                else:
+                    cnt = load_pcd_into(
+                        pcd,
+                        points[slot],
+                        transform=t_cav_ego.astype(np.float32)
+                        if self.proj_first else None,
+                        lidar_range=np.asarray(self.lidar_range, np.float32),
+                        ego_mask=2.0,
+                    )
                 points_mask[slot, :cnt] = True
             if self.cam_conf is not None:
                 from airv2x_tpu.data.camera import load_opv2v_cam_inputs
@@ -278,6 +296,8 @@ class OPV2VDataset:
         if self.use_radar:
             batch["radar_points"] = radar_points
             batch["radar_points_mask"] = radar_mask
+        if self.with_de:
+            batch["de_points_mask"] = points_mask & clean
         if self.cam_conf is not None and cam_slots:
             from airv2x_tpu.data.camera import stack_cam_slots
 

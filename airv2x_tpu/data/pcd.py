@@ -13,8 +13,14 @@ _DTYPES = {("F", 4): "<f4", ("F", 8): "<f8", ("I", 4): "<i4", ("U", 4): "<u4",
            ("I", 1): "<i1", ("U", 1): "<u1", ("I", 2): "<i2", ("U", 2): "<u2"}
 
 
-def read_pcd(path: str) -> np.ndarray:
-    """Read a .pcd file -> (N, 4) float32 [x, y, z, intensity]."""
+def read_pcd(path: str, return_label: bool = False):
+    """Read a .pcd file -> (N, 4) float32 [x, y, z, intensity].
+
+    With ``return_label`` also returns the per-point weather label the
+    V2X-R simulated-weather clouds carry in the GREEN color channel
+    (reference pcd_utils.pcd_to_np(get_weather=True) reads
+    ``pcd.colors[:, 1]``; intensity rides in the RED channel, :64-80).
+    Files without a color field get label 0 (all points clean)."""
     with open(path, "rb") as f:
         header = {}
         while True:
@@ -58,18 +64,51 @@ def read_pcd(path: str) -> np.ndarray:
     x = cols.get("x")
     y = cols.get("y")
     z = cols.get("z")
-    inten = cols.get("intensity", np.ones_like(x))
+    label = np.zeros_like(np.asarray(x, np.float32))
+    if "rgb" in cols:
+        # packed RGB (PCL convention): byte lanes R,G,B, stored either as a
+        # reinterpreted float32 or a uint32; open3d's pcd.colors normalizes
+        # by 255 — intensity=R/255, label=G/255
+        if types[fields.index("rgb")] == "U":
+            u = np.asarray(cols["rgb"], np.float64).astype(np.uint32)
+        else:
+            u = np.ascontiguousarray(
+                np.asarray(cols["rgb"], np.float64).astype(np.float32)
+            ).view(np.uint32)
+        inten = ((u >> 16) & 0xFF).astype(np.float32) / 255.0
+        label = ((u >> 8) & 0xFF).astype(np.float32) / 255.0
+    else:
+        inten = cols.get("intensity", np.ones_like(x))
     pts = np.stack([x, y, z, inten], axis=-1).astype(np.float32)
-    return pts[~np.isnan(pts).any(axis=1)]
+    keep = ~np.isnan(pts).any(axis=1)
+    if return_label:
+        return pts[keep], label[keep]
+    return pts[keep]
 
 
-def write_pcd(path: str, points: np.ndarray, binary: bool = True) -> None:
-    """Write (N, 4) [x, y, z, intensity] to a PCD file (test fixtures)."""
+def write_pcd(path: str, points: np.ndarray, binary: bool = True,
+              label: np.ndarray | None = None) -> None:
+    """Write (N, 4) [x, y, z, intensity] to a PCD file (test fixtures).
+
+    With ``label`` (per-point weather label in [0, 1]) the intensity+label
+    pair is packed into a V2X-R-style float32 rgb column instead
+    (R=intensity, G=label)."""
     n = len(points)
+    pts = np.asarray(points, np.float32)
+    if label is not None:
+        r = np.clip(np.round(pts[:, 3] * 255.0), 0, 255).astype(np.uint32)
+        g = np.clip(np.round(np.asarray(label) * 255.0), 0, 255).astype(
+            np.uint32
+        )
+        rgb = ((r << 16) | (g << 8)).view(np.float32)
+        pts = np.concatenate([pts[:, :3], rgb[:, None]], axis=1)
+        fields = "x y z rgb"
+    else:
+        fields = "x y z intensity"
     header = (
         "# .PCD v0.7 - Point Cloud Data file format\n"
         "VERSION 0.7\n"
-        "FIELDS x y z intensity\n"
+        f"FIELDS {fields}\n"
         "SIZE 4 4 4 4\n"
         "TYPE F F F F\n"
         "COUNT 1 1 1 1\n"
@@ -78,8 +117,7 @@ def write_pcd(path: str, points: np.ndarray, binary: bool = True) -> None:
     )
     with open(path, "wb") as f:
         f.write(header.encode("ascii"))
-        pts = np.asarray(points, np.float32)
         if binary:
             f.write(pts.astype("<f4").tobytes())
         else:
-            np.savetxt(f, pts, fmt="%.6f")
+            np.savetxt(f, pts, fmt="%.9g")

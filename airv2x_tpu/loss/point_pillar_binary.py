@@ -107,17 +107,24 @@ def make_coalign_loss(args: dict):
 
 @register_loss("point_pillar_loss_mdd")
 def make_mdd_loss(args: dict):
-    """Detection loss + diffusion eps-MSE term (loss/point_pillar_loss_mdd
-    twin); the model exposes ``diff_loss`` in its outputs."""
+    """Detection loss + denoised-feature MSE (loss/point_pillar_loss_mdd.py
+    :153-178 twin): ``((gt_feature - pred_feature)**2).sum(channel).mean()``
+    scaled by the epoch schedule ``sigmoid_weight(3, epoch) =
+    1.5 * (1 - tanh(epoch/4 - 5))`` (:92-93,156-158; weight 0 at eval).
+    The epoch rides in ``target["epoch"]`` (default 1)."""
     base = make_binary_loss(args)
-    diff_weight = float(args.get("diff_weight", 1.0))
 
     def loss_fn(output: dict, target: dict, prefix: str = ""):
         total, parts = base(output, target, prefix)
-        if "diff_loss" in output:
-            total = total + diff_weight * output["diff_loss"]
+        if "pred_feature" in output and "gt_feature" in output:
+            epoch = jnp.asarray(target.get("epoch", 1), jnp.float32)
+            weight = 3.0 / 2.0 * (-jnp.tanh(epoch / 4.0 - 5.0) + 1.0)
+            p = output["pred_feature"].astype(jnp.float32)
+            g = output["gt_feature"].astype(jnp.float32)
+            diff_loss = jnp.mean(jnp.sum((g - p) ** 2, axis=-1)) * weight
+            total = total + diff_loss
             parts = dict(parts)
-            parts["diff_loss"] = output["diff_loss"]
+            parts["diff_loss"] = diff_loss
             parts[f"total_loss{prefix}"] = total
         return total, parts
 

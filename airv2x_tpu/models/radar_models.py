@@ -19,10 +19,15 @@ from typing import Any
 import flax.linen as nn
 import jax.numpy as jnp
 
+import jax
+
 from airv2x_tpu.models.fusion.common import ego_agent_attention
 from airv2x_tpu.models.nn import BN_EPS, BN_MOMENTUM
 from airv2x_tpu.models.pillar_vfe import PillarVFE
-from airv2x_tpu.models.point_pillar_models import PointPillarBase
+from airv2x_tpu.models.point_pillar_models import (
+    PointPillarBase,
+    _PerStageFusionBase,
+)
 from airv2x_tpu.models.registry import register_model
 from airv2x_tpu.ops.scatter import (
     scatter_pillars_to_bev_batch,
@@ -341,60 +346,99 @@ class PointPillarL4DR(PointPillarBase):
 
 
 @register_model("point_pillar_intermediate_lrf_MDD", "point_pillar_mdd")
-class PointPillarLRFMDD(PointPillarL4DR):
-    """LiDAR+radar fusion with radar-conditioned diffusion denoising of the
-    LiDAR BEV features (twin of point_pillar_intermediate_lrf_MDD.py: the
-    MDD block denoises the lidar branch before fusion; the diffusion MSE is
-    exposed as ``diff_loss`` for the mdd loss variant)."""
+class PointPillarLRFMDD(_PerStageFusionBase):
+    """Faithful twin of point_pillar_intermediate_lrf_MDD.py: separate
+    lidar/radar PillarVFEs on the shared grid; the degraded LiDAR BEV is
+    denoised by the radar-conditioned diffusion chain (``Cond_Diff_Denoise``,
+    full reverse chain in BOTH modes, :75-134) and masked to the original
+    lidar occupancy (``pred_feature * (spatial_features != 0)``, :132-134);
+    the [denoised-lidar, radar] channel concat feeds AttBEVBackbone per-stage
+    agent attention (:142-153). Training also encodes the CLEAN lidar sweep
+    (``processed_de_lidar`` -> batch["de_points"]) with stopped gradients as
+    ``gt_feature`` (:88-107); if the dataset carries no clean twin the
+    degraded BEV itself is used (the diff loss then pulls the chain toward
+    identity reconstruction)."""
 
     def setup_fusion(self):
         from airv2x_tpu.models.fusion.mdd import CondDiffDenoise
 
         pv = self.args["pillar_vfe"]
         pre = self.pre
-        self.radar_vfe = PillarVFE(
-            num_filters=pv["num_filters"],
-            voxel_size=pre["args"]["voxel_size"],
-            lidar_range=pre["cav_lidar_range"],
-            use_norm=pv["use_norm"],
-            with_distance=pv["with_distance"],
-            use_absolute_xyz=pv["use_absolute_xyz"],
-            dtype=self.dtype,
-            name="radar_vfe",
-        )
-        mdd = self.args.get("mdd_block", {})
+        if self.fast_pillars:
+            from airv2x_tpu.ops.fast_pillars import FastPillarBEV
+
+            self.radar_vfe = FastPillarBEV(
+                num_filters=pv["num_filters"],
+                voxel_size=pre["args"]["voxel_size"],
+                lidar_range=pre["cav_lidar_range"],
+                use_norm=pv["use_norm"],
+                with_distance=pv["with_distance"],
+                use_absolute_xyz=pv["use_absolute_xyz"],
+                dtype=self.dtype,
+            )
+        else:
+            self.radar_vfe = PillarVFE(
+                num_filters=pv["num_filters"],
+                voxel_size=pre["args"]["voxel_size"],
+                lidar_range=pre["cav_lidar_range"],
+                use_norm=pv["use_norm"],
+                with_distance=pv["with_distance"],
+                use_absolute_xyz=pv["use_absolute_xyz"],
+                dtype=self.dtype,
+            )
+        mdd = self.args["mdd_block"]
         self.mdd = CondDiffDenoise(
-            channels=int(mdd.get("channels", 32)),
-            num_train_steps=int(mdd.get("num_steps", 100)),
-            infer_steps=int(mdd.get("infer_steps", 4)),
+            model_cfg=mdd["model"],
+            num_timesteps=int(mdd["diffusion"]["num_diffusion_timesteps"]),
             dtype=self.dtype,
         )
 
     def __call__(self, batch, train: bool = False):
-        lidar = self._encode_cloud(batch["points"], batch["points_mask"], self.vfe, train
+        lidar = PointPillarL4DR._encode_cloud(
+            self, batch["points"], batch["points_mask"], self.vfe, train
         )
-        radar = self._encode_cloud(
-            batch["radar_points"],
-            batch["radar_points_mask"],
-            self.radar_vfe,
-            train,
+        radar = PointPillarL4DR._encode_cloud(
+            self, batch["radar_points"], batch["radar_points_mask"],
+            self.radar_vfe, train,
         )
         b, l = lidar.shape[:2]
-        lid_flat = lidar.reshape((b * l,) + lidar.shape[2:])
-        rad_flat = radar.reshape((b * l,) + radar.shape[2:])
-        denoised, diff_loss = self.mdd(lid_flat, rad_flat, train)
-        x = 0.5 * (denoised + rad_flat)
-        feats, _ = self.backbone(x, train)
+        lid = lidar.reshape((b * l,) + lidar.shape[2:])
+        rad = radar.reshape((b * l,) + radar.shape[2:])
+        pred = self.mdd(lid, rad, train=train,
+                        noises=batch.get("mdd_noises"))
+        pred = pred * (lid != 0).astype(pred.dtype)
+        out = {"pred_feature": pred, "comm_rate": jnp.asarray(1.0)}
+        if train:
+            de_mask = batch.get("de_points_mask")
+            if de_mask is not None:
+                # clean-sweep twin: same slots, weather-noise points masked
+                gt = PointPillarL4DR._encode_cloud(
+                    self, batch.get("de_points", batch["points"]), de_mask,
+                    self.vfe, train,
+                )
+                gt = gt.reshape((b * l,) + gt.shape[2:])
+            else:
+                gt = lid
+            out["gt_feature"] = jax.lax.stop_gradient(gt)
+
+        flat = jnp.concatenate([pred, rad], axis=-1)
+        ms, h = [], flat
+        for i in range(len(self.backbone.layer_nums)):
+            h = self.backbone.stage(i, h, train)
+            ms.append(h)
+        fused_ms = [
+            self._fuse_scale(f, b, l, batch["agent_mask"]) for f in ms
+        ]
+        ups = [
+            self.backbone.deblock(i, f, train)
+            for i, f in enumerate(fused_ms)
+        ]
+        fused = self.backbone.finish(ups, train)
         if self.shrink_flag:
-            feats = self.shrink_conv(feats, train)
-        grouped = feats.reshape((b, l) + feats.shape[1:])
-        fused = ego_agent_attention(grouped, batch["agent_mask"])
-        return {
-            "psm": self.cls_head(fused),
-            "rm": self.reg_head(fused),
-            "diff_loss": diff_loss,
-            "comm_rate": jnp.asarray(1.0),
-        }
+            fused = self.shrink_conv(fused, train)
+        out["psm"] = self.cls_head(fused)
+        out["rm"] = self.reg_head(fused)
+        return out
 
 
 # --------------------------------------------------------------------------

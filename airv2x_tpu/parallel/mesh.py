@@ -40,6 +40,10 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(mesh: Mesh, batch):
-    """Device-put a host batch pytree with the batch axis sharded on 'data'."""
+    """Device-put a host batch pytree with the batch axis sharded on 'data';
+    rank-0 leaves (e.g. the loss epoch scalar) are replicated."""
     sh = batch_sharding(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
+    rep = replicated(mesh)
+    return jax.tree.map(
+        lambda x: jax.device_put(x, sh if np.ndim(x) else rep), batch
+    )

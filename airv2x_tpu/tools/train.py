@@ -276,6 +276,9 @@ def main():
                     opt.seed + epoch + 1,
                 )
             for batch in epoch_iter:
+                # epoch-scheduled loss terms (point_pillar_loss_mdd's
+                # sigmoid_weight) read labels["epoch"]; 1-based upstream
+                batch["labels"]["epoch"] = np.float32(epoch + 1)
                 batch = shard_batch(mesh, jax.tree.map(jnp.asarray, batch))
                 state, parts = train_step(state, batch, rng)
                 losses.append(parts)

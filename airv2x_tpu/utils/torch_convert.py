@@ -605,6 +605,78 @@ def _flat_converter(fusion_fn=None):
     return convert
 
 
+def convert_diffusion_unet(ts: TorchState, asg: Assigner, base: tuple,
+                           cfg: dict):
+    """mdd_modules/unet.DiffusionUNet -> models/fusion/mdd.DiffusionUNet.
+
+    Walks the same level/block structure the constructor builds
+    (unet.py:217-300); ``resolution`` is hardcoded 128 upstream (:198), so
+    attention placement depends only on the config's attn_resolutions."""
+
+    def resblock(scope: str, path: tuple):
+        s = ts.sub(scope)
+        convert_layernorm(s, asg, path + ("norm1",), scope="norm1")
+        convert_conv(s, asg, path + ("conv1",), scope="conv1")
+        convert_linear(s, asg, path + ("temb_proj",), scope="temb_proj")
+        convert_layernorm(s, asg, path + ("norm2",), scope="norm2")
+        convert_conv(s, asg, path + ("conv2",), scope="conv2")
+        for short in ("nin_shortcut", "conv_shortcut"):
+            if f"{short}.weight" in s:
+                convert_conv(s, asg, path + (short,), scope=short)
+
+    def attnblock(scope: str, path: tuple):
+        s = ts.sub(scope)
+        convert_layernorm(s, asg, path + ("norm",), scope="norm")
+        for name in ("q", "k", "v", "proj_out"):
+            convert_conv(s, asg, path + (name,), scope=name)
+
+    ch_mult = tuple(cfg["ch_mult"])
+    n_lv = len(ch_mult)
+    nrb = int(cfg["num_res_blocks"])
+    attn = set(cfg.get("attn_resolutions", ()))
+    curr_res = 128
+    convert_conv(ts, asg, base + ("conv_in",), scope="conv_in")
+    convert_linear(ts, asg, base + ("temb_dense_0",), scope="temb.dense.0")
+    convert_linear(ts, asg, base + ("temb_dense_1",), scope="temb.dense.1")
+    for i in range(n_lv):
+        for j in range(nrb):
+            resblock(f"down.{i}.block.{j}", base + (f"down_{i}_block_{j}",))
+            if curr_res in attn:
+                attnblock(f"down.{i}.attn.{j}",
+                          base + (f"down_{i}_attn_{j}",))
+        if i != n_lv - 1:
+            convert_conv(ts, asg, base + (f"down_{i}_downsample", "conv"),
+                         scope=f"down.{i}.downsample.conv")
+            curr_res //= 2
+    resblock("mid.block_1", base + ("mid_block_1",))
+    resblock("mid.block_2", base + ("mid_block_2",))
+    for i in reversed(range(n_lv)):
+        for j in range(nrb + 1):
+            resblock(f"up.{i}.block.{j}", base + (f"up_{i}_block_{j}",))
+            if curr_res in attn:
+                attnblock(f"up.{i}.attn.{j}", base + (f"up_{i}_attn_{j}",))
+        if i != 0:
+            convert_conv(ts, asg, base + (f"up_{i}_upsample", "conv"),
+                         scope=f"up.{i}.upsample.conv")
+            curr_res *= 2
+    convert_layernorm(ts, asg, base + ("norm_out",), scope="norm_out")
+    convert_conv(ts, asg, base + ("conv_out",), scope="conv_out")
+
+
+def _flat_mdd_fusion(ts, asg, args):
+    """Cond_Diff_Denoise scope: the UNet parameters convert; the diffusion
+    schedule buffers (betas/alphas_cumprod/posterior_*,
+    radar_cond_diff_denoise.py:283-322) are constants recomputed on the flax
+    side (mdd.mdd_beta_schedule) and are consumed, not mapped."""
+    convert_diffusion_unet(
+        ts.sub("mdd.denoiser"), asg, ("mdd", "denoiser"),
+        dict(args["mdd_block"]["model"]),
+    )
+    for k in list(ts.sub("mdd").keys()):
+        if ".denoiser." not in k:
+            ts.consumed.add(k)
+
+
 def _flat_v2xvit_fusion(ts, asg, args):
     convert_v2xt_encoder(
         ts.sub("fusion_net.encoder"),
@@ -1554,6 +1626,8 @@ CONVERTERS: dict[str, Callable[[dict, dict, dict], Assigner]] = {
     "point_pillar_disconet": convert_point_pillar_intermediate,
     "point_pillar_disconet_teacher": convert_point_pillar_intermediate,
     "point_pillar_intermediate_lrf": convert_point_pillar_intermediate,
+    "point_pillar_intermediate_lrf_MDD": _flat_converter(_flat_mdd_fusion),
+    "point_pillar_mdd": _flat_converter(_flat_mdd_fusion),
     "point_pillar_v2xvit": convert_point_pillar_v2xvit,
     "point_pillar_v2xvit_lrf": convert_point_pillar_v2xvit,
     "point_pillar_cobevt": convert_point_pillar_cobevt,

@@ -166,3 +166,46 @@ def test_opv2v_camera_loading(tmp_path, rng):
     # live slots carry real (non-identity) camera rotations
     assert np.abs(cams["rots"][0, 0] - np.eye(3)).max() > 0.1
     assert np.isfinite(cams["imgs"]).all()
+
+
+def test_opv2v_mdd_clean_mask(tmp_path, rng):
+    """V2X-R simulated-weather clouds carry the weather label in the green
+    color channel; MDD training surfaces ``de_points_mask`` = in-mask AND
+    label==0 (basedataset.py:350-358 de_lidar_np selection)."""
+    from airv2x_tpu.data.pcd import read_pcd
+
+    root = str(tmp_path)
+    scen = os.path.join(root, "2021_08_16_01_01_01")
+    pose = [0.0, 0.0, 1.9, 0, 0, 0]
+    cdir = os.path.join(scen, "641")
+    os.makedirs(cdir, exist_ok=True)
+    meta = {"lidar_pose": pose, "vehicles": {}}
+    with open(os.path.join(cdir, "000068.yaml"), "w") as f:
+        yaml.safe_dump(meta, f)
+    pts = rng.uniform(-30, 30, size=(300, 4)).astype(np.float32)
+    pts[:, 2] = rng.uniform(-1.5, 0.5, 300)
+    pts[:, 3] = rng.uniform(0, 1, 300)
+    label = (np.arange(300) % 3 == 0).astype(np.float32)  # 100 noise points
+    write_pcd(os.path.join(cdir, "000068.pcd"), pts, label=label)
+    write_pcd(os.path.join(cdir, "000068_radar.pcd"), pts[:50])
+
+    # label + intensity round-trip through the packed rgb column
+    rpts, rlabel = read_pcd(os.path.join(cdir, "000068.pcd"),
+                            return_label=True)
+    assert rpts.shape == (300, 4)
+    np.testing.assert_allclose(rlabel, label, atol=1 / 255)
+    np.testing.assert_allclose(
+        rpts[:, 3], np.round(pts[:, 3] * 255) / 255, atol=1e-6
+    )
+
+    hypes = _hypes()
+    hypes["model"] = {"core_method": "point_pillar_intermediate_lrf_MDD"}
+    ds = OPV2VDataset(hypes, root, train=True, use_radar=True)
+    batch, _ = ds[0]
+    de = batch["de_points_mask"]
+    pm = batch["points_mask"]
+    assert not (de & ~pm).any()  # subset of the in-mask points
+    kept = int(de[0].sum())
+    total = int(pm[0].sum())
+    assert 0 < kept < total  # weather points dropped
+    assert abs(kept - total * 2 / 3) < total * 0.15

@@ -47,7 +47,14 @@ def test_mdd_forward_train_and_eval():
 
     hypes = _hypes(
         "point_pillar_mdd",
-        {"mdd_block": {"channels": 16, "num_steps": 20, "infer_steps": 2}},
+        {"mdd_block": {
+            "model": {
+                "in_channels": 16, "out_ch": 16, "ch": 8, "ch_mult": [1, 1],
+                "num_res_blocks": 1, "attn_resolutions": [16],
+                "dropout": 0.0, "resamp_with_conv": True,
+            },
+            "diffusion": {"num_diffusion_timesteps": 2},
+        }},
     )
     model = build_model(hypes)
     rng = np.random.default_rng(0)
@@ -67,13 +74,15 @@ def test_mdd_forward_train_and_eval():
     out = jax.jit(lambda v, b: model.apply(v, b, train=False))(variables, batch)
     assert out["psm"].shape == (1, 32, 32, 2)
     assert np.isfinite(np.asarray(out["psm"])).all()
-    # train mode produces a finite diffusion loss
+    # train mode exposes the denoised / clean feature pair for the
+    # point_pillar_loss_mdd feature-MSE term
     out_t, _ = model.apply(
         variables, batch, train=True,
         rngs={"comm": jax.random.PRNGKey(3), "diffusion": jax.random.PRNGKey(4)},
         mutable=["batch_stats"],
     )
-    assert np.isfinite(float(out_t["diff_loss"]))
+    assert out_t["pred_feature"].shape == out_t["gt_feature"].shape
+    assert np.isfinite(np.asarray(out_t["pred_feature"])).all()
 
 
 def test_interf_forward():
