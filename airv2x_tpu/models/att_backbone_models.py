@@ -1,13 +1,22 @@
-"""Attention-backbone and SpatialCooper fusion variants.
+"""Attention-backbone, PFA and SpatialCooper fusion variants.
 
-``point_pillar_attresnet`` — twin of models/point_pillar_attresnet.py +
-common_modules/att_bev_backbone.py:356-520: the BEV backbone fuses agents
-with per-pixel self attention AFTER EVERY STAGE (fusion inside the
-backbone, unlike the post-backbone family), deconvs the fused levels and
-concatenates.
+``point_pillar_attresnet`` — faithful twin of models/point_pillar_attresnet
+.py (PointPillarIntermediateResNetDCN) + attresnet_modules/: ResNetModified
+multiscale features (att_resnet_bev_backbone.py:189), per level an
+ego-warp + per-pixel agent self-attention (self_attn.AttFusion:50-78 —
+``warp_affine_simple`` to the ego frame with the normalized affine built at
+the spatial-feature resolution, :252-268, then scaled-dot attention keeping
+the ego row), ConvTranspose deblock decode, 1x1 heads on 128*3
+(point_pillar_attresnet.py:29-32). The structure is CoAlign's fusion spine
+(coalign_model.py) with the reference's hardcoded no-compression backbone
+(att_resnet_bev_backbone.py:177 ``self.compress = False``).
+
+``PFA_net`` — models/PFA_net.py: the standard common_modules
+AttBEVBackbone per-stage fusion model, with ``use_modality`` selecting
+which processed cloud feeds the pillars (:14-16, V2X-R radar-only runs).
 
 ``point_pillar_spatialcooper`` — twin of point_pillar_spatialcooper.py +
-spatialcooper_modules (max+mean stack -> 3D conv blend over agents).
+spatialcooper_modules (max+mean stack -> learned conv blend over agents).
 """
 
 from __future__ import annotations
@@ -15,56 +24,52 @@ from __future__ import annotations
 import flax.linen as nn
 import jax.numpy as jnp
 
-from airv2x_tpu.models.bev_backbone import BEVStage, DeconvBNReLU
-from airv2x_tpu.models.fusion.common import ego_agent_attention, max_fusion, mean_fusion
-from airv2x_tpu.models.point_pillar_models import PointPillarBase
+from airv2x_tpu.models.fusion.common import max_fusion, mean_fusion
+from airv2x_tpu.models.fusion.scope import atten_fusion
+from airv2x_tpu.models.point_pillar_models import (
+    PointPillarBase,
+    PointPillarIntermediate,
+)
 from airv2x_tpu.models.registry import register_model
+from airv2x_tpu.ops.warp import (
+    normalized_pairwise_affine,
+    warp_affine_normalized,
+)
 
 
-@register_model("point_pillar_attresnet", "PFA_net", "pfanet")
+@register_model("point_pillar_attresnet")
 class PointPillarAttResNet(PointPillarBase):
-    def setup_fusion(self):
-        bb = self.args["base_bev_backbone"]
-        self.att_stages = [
-            BEVStage(f, s, n, dtype=self.dtype)
-            for f, s, n in zip(
-                bb["num_filters"], bb["layer_strides"], bb["layer_nums"]
-            )
-        ]
-        self.att_deblocks = [
-            DeconvBNReLU(f, s, dtype=self.dtype)
-            for f, s in zip(bb["num_upsample_filter"], bb["upsample_strides"])
-        ]
-        # att_bev_backbone.py:13-17,51-76: ``compression: N`` inserts an
-        # AutoEncoder bottleneck after stage idx while N - idx > 0
-        compress_layer = int(bb.get("compression", 0))
-        if compress_layer > 0:
-            from airv2x_tpu.models.alignnet import AutoEncoder
+    """ResNet multiscale + per-level ego-warp agent attention."""
 
-            self.att_compressors = [
-                AutoEncoder(f, compress_layer - i, dtype=self.dtype)
-                if compress_layer - i > 0
-                else None
-                for i, f in enumerate(bb["num_filters"])
-            ]
-        else:
-            self.att_compressors = [None] * len(bb["num_filters"])
+    _force_resnet_backbone = True
+
+    def setup_fusion(self):
+        vs = self.args.get("voxel_size") or self.pre["args"]["voxel_size"]
+        self._discrete_ratio = float(vs[0])
 
     def __call__(self, batch, train: bool = False):
-        x = self.encode(batch, train)  # (B, L, ny, nx, C)
-        b, l = x.shape[:2]
-        am = batch["agent_mask"]
-        cur = x.reshape((b * l,) + x.shape[2:])
+        spatial = self.encode(batch, train)  # (B, L, H0, W0, C)
+        b, l = spatial.shape[:2]
+        agent_mask = batch["agent_mask"]
+        # normalized once at the spatial-feature resolution and shared by
+        # all levels (att_resnet_bev_backbone.py:252-268; downsample_rate=1)
+        aff = normalized_pairwise_affine(
+            batch["pairwise_t_full"], spatial.shape[2], spatial.shape[3],
+            self._discrete_ratio, 1.0,
+        )[:, 0]  # (B, L, 2, 3): slot j -> ego
+
+        def warp_slots(v):
+            warped = warp_affine_normalized(v[:, 1:], aff[:, 1:])
+            out = jnp.concatenate([v[:, :1], warped], axis=1)
+            return out * agent_mask[:, :, None, None, None].astype(out.dtype)
+
+        x = spatial.reshape((b * l,) + spatial.shape[2:])
         ups = []
-        for stage, deblock, compressor in zip(
-            self.att_stages, self.att_deblocks, self.att_compressors
-        ):
-            cur = stage(cur, train)
-            if compressor is not None:
-                cur = compressor(cur, train)
-            grouped = cur.reshape((b, l) + cur.shape[1:])
-            fused = ego_agent_attention(grouped, am)  # (B, H, W, C)
-            ups.append(deblock(fused, train))
+        for i in range(len(self.backbone.stages)):
+            x = self.backbone.stages[i](x, train)
+            fi = x.reshape((b, l) + x.shape[1:])
+            fused = atten_fusion(warp_slots(fi), agent_mask)
+            ups.append(self.backbone.deblocks[i](fused, train))
         feats = jnp.concatenate(ups, axis=-1) if len(ups) > 1 else ups[0]
         if self.shrink_flag:
             feats = self.shrink_conv(feats, train)
@@ -73,6 +78,18 @@ class PointPillarAttResNet(PointPillarBase):
             "rm": self.reg_head(feats),
             "comm_rate": jnp.asarray(1.0),
         }
+
+
+@register_model("PFA_net", "pfanet", "pfa_net")
+class PFAnet(PointPillarIntermediate):
+    """AttBEVBackbone per-stage fusion on a configurable cloud modality."""
+
+    def encode(self, batch, train):
+        if str(self.args.get("use_modality", "")) == "processed_radar":
+            batch = dict(batch)
+            batch["points"] = batch["radar_points"]
+            batch["points_mask"] = batch["radar_points_mask"]
+        return super().encode(batch, train)
 
 
 @register_model("point_pillar_spatialcooper", "point_pillar_spatialcooper_lrf")

@@ -88,9 +88,11 @@ class PointPillarBase(nn.Module):
             # bm2cp: modality_fusion.bev_backbone, always ResNet
             bb = dict(args["modality_fusion"]["bev_backbone"])
             bb["resnet"] = True
-        if bb.get("resnet"):
+        if bb.get("resnet") or getattr(self, "_force_resnet_backbone", False):
             # point_pillar_baseline_multiscale.py:40-48 defaults to the
-            # ResNet BEV backbone behind ``base_bev_backbone.resnet``
+            # ResNet BEV backbone behind ``base_bev_backbone.resnet``;
+            # attresnet hardcodes ResNetModified (att_resnet_bev_backbone
+            # .py:189) -> subclasses force it via _force_resnet_backbone
             from airv2x_tpu.models.resnet_bev import ResNetBEVBackbone
 
             self.backbone = ResNetBEVBackbone(
@@ -240,6 +242,25 @@ class _PerStageFusionBase(PointPillarBase):
             return ego_agent_attention(g, agent_mask)
         return max_fusion(g, agent_mask)
 
+    def setup_fusion(self):
+        # att_bev_backbone.py:362-364,420-424: ``base_bev_backbone.
+        # compression: N`` inserts an AutoEncoder bottleneck after stage idx
+        # while N - idx > 0; the compressed map feeds BOTH the fusion and
+        # the next stage (:493-495)
+        bb = self.args["base_bev_backbone"]
+        compress_layer = int(bb.get("compression", 0))
+        if compress_layer > 0:
+            from airv2x_tpu.models.alignnet import AutoEncoder
+
+            self.stage_compressors = [
+                AutoEncoder(f, compress_layer - i, dtype=self.dtype)
+                if compress_layer - i > 0
+                else None
+                for i, f in enumerate(bb["num_filters"])
+            ]
+        else:
+            self.stage_compressors = [None] * len(bb["num_filters"])
+
     def __call__(self, batch, train: bool = False):
         from airv2x_tpu.models.resnet_bev import ResNetBEVBackbone
 
@@ -255,6 +276,8 @@ class _PerStageFusionBase(PointPillarBase):
             ms, h = [], flat
             for i in range(len(self.backbone.layer_nums)):
                 h = self.backbone.stage(i, h, train)
+                if self.stage_compressors[i] is not None:
+                    h = self.stage_compressors[i](h, train)
                 ms.append(h)
         rate = sum(jnp.sum((f != 0).astype(jnp.float32)) for f in ms)
         fused_ms = [

@@ -558,6 +558,15 @@ def _convert_flat_trunk(ts: TorchState, asg: Assigner, args: dict):
         layer_nums=bb["layer_nums"],
         upsample_strides=bb.get("upsample_strides", ()),
     )
+    # att_bev_backbone.py:362-364 per-stage AutoEncoder bottlenecks
+    compress_layer = int(bb.get("compression", 0))
+    for i in range(compress_layer):
+        if i >= len(bb["layer_nums"]):
+            break
+        convert_autoencoder(
+            ts.sub(f"backbone.compression_modules.{i}"), asg,
+            (f"stage_compressors_{i}",), layer_num=compress_layer - i,
+        )
     shrink = args.get("shrink_header", {})
     if shrink.get("use") or (
         shrink and "use" not in shrink and "dim" in shrink
@@ -661,6 +670,35 @@ def convert_diffusion_unet(ts: TorchState, asg: Assigner, base: tuple,
             curr_res *= 2
     convert_layernorm(ts, asg, base + ("norm_out",), scope="norm_out")
     convert_conv(ts, asg, base + ("conv_out",), scope="conv_out")
+
+
+def convert_autoencoder(ts: TorchState, asg: Assigner, base: tuple, *,
+                        layer_num: int):
+    """common_modules/auto_encoder.AutoEncoder -> alignnet.AutoEncoder.
+
+    Encoder level i = [ZeroPad, Conv s2, BN, ReLU, Conv, BN, ReLU]
+    (auto_encoder.py:14-45); the decoder runs REVERSED (forward :84-89), so
+    torch decoder[L-1-j] lands at the flax module's j-th decode iteration."""
+    for i in range(layer_num):
+        enc = ts.sub(f"encoder.{i}")
+        convert_conv(enc, asg, base + (f"Conv_{2 * i}",), scope="1")
+        convert_bn(enc, asg, base + (f"BatchNorm_{2 * i}",), scope="2")
+        convert_conv(enc, asg, base + (f"Conv_{2 * i + 1}",), scope="4")
+        convert_bn(enc, asg, base + (f"BatchNorm_{2 * i + 1}",), scope="5")
+    for j in range(layer_num):
+        dec = ts.sub(f"decoder.{layer_num - 1 - j}")
+        convert_deconv(dec, asg, base + (f"ConvTranspose_{j}",), scope="0.0")
+        convert_bn(
+            dec, asg, base + (f"BatchNorm_{2 * layer_num + 2 * j}",),
+            scope="0.1",
+        )
+        convert_conv(
+            dec, asg, base + (f"Conv_{2 * layer_num + j}",), scope="1.0"
+        )
+        convert_bn(
+            dec, asg, base + (f"BatchNorm_{2 * layer_num + 2 * j + 1}",),
+            scope="1.1",
+        )
 
 
 def _flat_mdd_fusion(ts, asg, args):
@@ -1516,6 +1554,33 @@ def convert_airv2x_bm2cp(sd: dict, variables: dict, hypes: dict) -> Assigner:
     return asg
 
 
+def convert_point_pillar_attresnet(sd: dict, variables: dict,
+                                   hypes: dict) -> Assigner:
+    """PointPillarIntermediateResNetDCN (point_pillar_attresnet.py) ->
+    PointPillarAttResNet: coalign-style trunk, but ResNetModified names its
+    layers 1-based (attresnet_modules/resblock.py ``layer{i+1}``); the
+    ego-warp AttFusion is parameter-less."""
+    args = dict(hypes["model"]["args"])
+    args.setdefault("preprocess", hypes.get("preprocess"))
+    ts = TorchState(strip_module_prefix(sd))
+    asg = Assigner(variables)
+    pre = args.get("preprocess") or {}
+    nf = args["pillar_vfe"]["num_filters"]
+    fast = bool((pre.get("args") or {}).get("fast_pillars", True)) and len(nf) == 1
+    convert_pillar_vfe(ts.sub("pillar_vfe"), asg, ("vfe",), fast=fast,
+                       num_layers=len(nf))
+    bb = args["base_bev_backbone"]
+    convert_resnet_backbone(
+        ts.sub("backbone"), asg, ("backbone",),
+        layer_nums=bb["layer_nums"],
+        upsample_strides=bb.get("upsample_strides", ()),
+        layer_base=1,
+    )
+    convert_det_heads(ts, asg, base=())
+    asg.torch_leftovers = ts.leftovers()
+    return asg
+
+
 def convert_point_pillar_coalign(sd: dict, variables: dict,
                                  hypes: dict) -> Assigner:
     """PointPillarCoAlign (models/point_pillar_coalign.py) -> faithful flax
@@ -1623,6 +1688,9 @@ CONVERTERS: dict[str, Callable[[dict, dict, dict], Assigner]] = {
     "point_pillar_where2comm_lrf": convert_point_pillar_intermediate,
     "point_pillar_coalign": convert_point_pillar_coalign,
     "point_pillar_coalign_lrf": convert_point_pillar_coalign,
+    "point_pillar_attresnet": convert_point_pillar_attresnet,
+    "PFA_net": convert_point_pillar_intermediate,
+    "pfanet": convert_point_pillar_intermediate,
     "point_pillar_disconet": convert_point_pillar_intermediate,
     "point_pillar_disconet_teacher": convert_point_pillar_intermediate,
     "point_pillar_intermediate_lrf": convert_point_pillar_intermediate,

@@ -98,8 +98,9 @@ def test_autoencoder_shapes():
     assert np.isfinite(np.asarray(out)).all()
 
 
-def test_attresnet_compression_forward():
-    """att_bev_backbone compression>0 inserts AutoEncoder bottlenecks."""
+def test_att_backbone_compression_forward():
+    """att_bev_backbone compression>0 inserts AutoEncoder bottlenecks
+    (PFA_net / point_pillar_intermediate family)."""
     import copy
     import os
 
@@ -109,7 +110,7 @@ def test_attresnet_compression_forward():
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     hypes = load_yaml(os.path.join(repo, "hypes_yaml/test/tiny_where2comm.yaml"))
     hypes = copy.deepcopy(hypes)
-    hypes["model"]["core_method"] = "point_pillar_attresnet"
+    hypes["model"]["core_method"] = "PFA_net"
     args = hypes["model"]["args"]
     args["max_cav"] = 3
     args["anchor_number"] = 2
@@ -141,7 +142,7 @@ def test_attresnet_compression_forward():
     )
     # setup-list naming: the compressor subtree must exist with params
     assert any(
-        "att_compressors" in "/".join(map(str, path))
+        "stage_compressors" in "/".join(map(str, path))
         for path, _ in jax.tree_util.tree_flatten_with_path(variables)[0]
     )
     out = model.apply(variables, batch, train=False)

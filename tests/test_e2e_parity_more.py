@@ -898,3 +898,103 @@ def test_airv2x_bm2cp_e2e_parity():
         err = np.abs(got - want).max()
         scale = max(np.abs(want).max(), 1.0)
         assert err < 3e-3 * scale, f"airv2x bm2cp {k} e2e mismatch {err}"
+
+
+def test_attresnet_e2e_parity():
+    """Faithful attresnet (PointPillarIntermediateResNetDCN): ResNet
+    multiscale features, per-level ego-warp + pixel-wise agent attention
+    (attresnet_modules/self_attn.AttFusion), deblock decode — with a
+    NON-identity agent-1 pose so the warp chain is exercised."""
+    from opencood.models.point_pillar_attresnet import (
+        PointPillarIntermediateResNetDCN,
+    )
+
+    from tests.test_flat_e2e_parity import _args, _hypes_for, _shared_inputs
+
+    args = _args()
+    # AttResNetBEVBackbone reads the grid scale from its own cfg (:179)
+    args["base_bev_backbone"]["voxel_size"] = args["voxel_size"]
+    rng = np.random.default_rng(83)
+    data_dict, batch = _shared_inputs(args, rng)
+
+    # ego <- agent1: yaw 12 deg + (1.2, -0.8) m translation
+    th = np.deg2rad(12.0)
+    t10 = np.eye(4, dtype=np.float32)
+    t10[0, 0] = t10[1, 1] = np.cos(th)
+    t10[0, 1], t10[1, 0] = -np.sin(th), np.sin(th)
+    t10[0, 3], t10[1, 3] = 1.2, -0.8
+    pair = np.tile(np.eye(4, dtype=np.float32), (1, 2, 2, 1, 1))
+    pair[0, 0, 1] = t10
+    pair[0, 1, 0] = np.linalg.inv(t10)
+    data_dict["pairwise_t_matrix"] = torch.tensor(pair.copy())
+    data_dict["lidar_pose"] = torch.zeros((2, 6))
+    batch["pairwise_t_full"] = jnp.asarray(pair)
+
+    torch.manual_seed(89)
+    ref = PointPillarIntermediateResNetDCN(args).eval()
+    randomize_batchnorms(ref, rng)
+    with torch.no_grad():
+        out_ref = ref(data_dict)
+
+    hypes = _hypes_for("point_pillar_attresnet", args)
+    model = build_model(hypes)
+    variables = jax.jit(lambda r, b: model.init(r, b, train=False))(
+        {"params": jax.random.PRNGKey(0), "comm": jax.random.PRNGKey(1)},
+        batch,
+    )
+    asg = tc.CONVERTERS["point_pillar_attresnet"](
+        {k: v for k, v in ref.state_dict().items()},
+        jax.tree.map(np.asarray, dict(variables)), hypes,
+    )
+    assert not asg.skipped, asg.skipped[:8]
+    assert asg.torch_leftovers == [], asg.torch_leftovers[:8]
+    out = model.apply(asg.variables, batch, train=False)
+    for k in ("psm", "rm"):
+        want = out_ref[k].permute(0, 2, 3, 1).numpy()
+        got = np.asarray(out[k])
+        assert got.shape == want.shape, (k, got.shape, want.shape)
+        err = np.abs(got - want).max()
+        scale = max(np.abs(want).max(), 1.0)
+        assert err < 3e-3 * scale, f"attresnet {k} e2e mismatch {err}"
+
+
+def test_pfa_compression_e2e_parity():
+    """PFA_net with AttBEVBackbone per-stage AutoEncoder compression
+    (base_bev_backbone.compression=2): the compressed map feeds BOTH the
+    per-stage attention fusion and the next stage (att_bev_backbone.py
+    :493-495), and the AutoEncoder's reversed decoder converts."""
+    from opencood.models.PFA_net import PFAnet as RefPFAnet
+
+    from tests.test_flat_e2e_parity import _args, _hypes_for, _shared_inputs
+
+    args = _args()
+    args["base_bev_backbone"]["compression"] = 2
+    rng = np.random.default_rng(101)
+    data_dict, batch = _shared_inputs(args, rng)
+
+    torch.manual_seed(103)
+    ref = RefPFAnet(args).eval()
+    randomize_batchnorms(ref, rng)
+    with torch.no_grad():
+        out_ref = ref(data_dict)
+
+    hypes = _hypes_for("PFA_net", args)
+    model = build_model(hypes)
+    variables = jax.jit(lambda r, b: model.init(r, b, train=False))(
+        {"params": jax.random.PRNGKey(0), "comm": jax.random.PRNGKey(1)},
+        batch,
+    )
+    asg = tc.CONVERTERS["PFA_net"](
+        {k: v for k, v in ref.state_dict().items()},
+        jax.tree.map(np.asarray, dict(variables)), hypes,
+    )
+    assert not asg.skipped, asg.skipped[:8]
+    assert asg.torch_leftovers == [], asg.torch_leftovers[:8]
+    out = model.apply(asg.variables, batch, train=False)
+    for k in ("psm", "rm"):
+        want = out_ref[k].permute(0, 2, 3, 1).numpy()
+        got = np.asarray(out[k])
+        assert got.shape == want.shape, (k, got.shape, want.shape)
+        err = np.abs(got - want).max()
+        scale = max(np.abs(want).max(), 1.0)
+        assert err < 3e-3 * scale, f"PFA {k} e2e mismatch {err}"
