@@ -92,20 +92,33 @@ class PFAnet(PointPillarIntermediate):
         return super().encode(batch, train)
 
 
-@register_model("point_pillar_spatialcooper", "point_pillar_spatialcooper_lrf")
+@register_model("point_pillar_spatialcooper", "point_pillar_adafusion")
 class PointPillarSpatialCooper(PointPillarBase):
-    """Max+mean agent stack blended by a learned conv
-    (spatialcooper_modules twin)."""
+    """Faithful S-AdaFusion twin (spatialcooper_modules/spatial_cooper_fuse
+    .SpatialFusion:10-35): the per-agent max and mean maps stack as TWO
+    channels of a 3D volume whose spatial dims are (feature-channel, H, W);
+    a Conv3d(2->1, k3, pad 1) + ReLU blends them. The ``use_modality``
+    hook selects the encoded cloud (point_pillar_spatialcooper.py:23-25);
+    the `_lrf` variant is the lidar+radar concat build via _make_lrf."""
 
     def setup_fusion(self):
-        self.blend = nn.Conv(1, (3, 3), padding="SAME", dtype=self.dtype,
-                             name="spatial_blend")
+        self.fuse_conv3d = nn.Conv(
+            1, (3, 3, 3), padding="SAME", dtype=self.dtype,
+            name="spatial_fuse3d",
+        )
+
+    def encode(self, batch, train):
+        if str(self.args.get("use_modality", "")) == "processed_radar":
+            batch = dict(batch)
+            batch["points"] = batch["radar_points"]
+            batch["points_mask"] = batch["radar_points_mask"]
+        return super().encode(batch, train)
 
     def fuse(self, grouped, batch, train):
         am = batch["agent_mask"]
-        x_max = max_fusion(grouped, am)
+        x_max = max_fusion(grouped, am)   # (B, H, W, C)
         x_mean = mean_fusion(grouped, am)
-        gate = nn.sigmoid(
-            self.blend(jnp.concatenate([x_max, x_mean], axis=-1))
-        )
-        return gate * x_max + (1.0 - gate) * x_mean, jnp.asarray(1.0)
+        # (B, C, H, W, 2): feature axis becomes the leading 3D spatial dim
+        vol = jnp.stack([x_max, x_mean], axis=-1).transpose(0, 3, 1, 2, 4)
+        out = nn.relu(self.fuse_conv3d(vol))[..., 0]  # (B, C, H, W)
+        return out.transpose(0, 2, 3, 1), jnp.asarray(1.0)

@@ -40,11 +40,19 @@ class BaseBEVBackbone(nn.Module):
     num_filters: Sequence[int]
     upsample_strides: Sequence[int]
     num_upsample_filters: Sequence[int]
+    remat: bool = False  # rematerialize per-stage activations in backward
     dtype: Any = jnp.float32
 
     def setup(self):
+        # With remat, each stage's conv+BN+ReLU chain is recomputed in the
+        # backward pass instead of keeping every intermediate live — trades
+        # ~1 extra stage forward for O(stage depth) less activation HBM
+        # (the B>=4 training spill cliff, doc/performance.md).
+        stage_cls = (
+            nn.remat(BEVStage, static_argnums=(2,)) if self.remat else BEVStage
+        )
         self.stages = [
-            BEVStage(f, s, n, dtype=self.dtype)
+            stage_cls(f, s, n, dtype=self.dtype)
             for f, s, n in zip(self.num_filters, self.layer_strides, self.layer_nums)
         ]
         self.deblocks = [

@@ -60,6 +60,7 @@ class PostBackboneFusionModel(nn.Module):
             num_filters=bb["num_filters"],
             upsample_strides=bb["upsample_strides"],
             num_upsample_filters=bb["num_upsample_filter"],
+            remat=bool(args.get("remat")),
             dtype=self.dtype,
         )
         shrink = mod.get("shrink_header", {})

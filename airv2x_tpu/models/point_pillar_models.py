@@ -102,6 +102,7 @@ class PointPillarBase(nn.Module):
                 upsample_strides=bb["upsample_strides"],
                 num_upsample_filters=bb["num_upsample_filter"],
                 inplanes=int(bb.get("inplanes", pv["num_filters"][-1])),
+                remat=bool(args.get("remat")),
                 dtype=self.dtype,
             )
         else:
@@ -111,6 +112,7 @@ class PointPillarBase(nn.Module):
                 num_filters=bb["num_filters"],
                 upsample_strides=bb["upsample_strides"],
                 num_upsample_filters=bb["num_upsample_filter"],
+                remat=bool(args.get("remat")),
                 dtype=self.dtype,
             )
         shrink = args.get("shrink_header")
@@ -311,9 +313,39 @@ class PointPillarIntermediate(_PerStageFusionBase):
         return int(self.args["pillar_vfe"]["num_filters"][-1])
 
 
-@register_model("point_pillar_max")
+@register_model("point_pillar_max", "point_pillar_fcooper")
 class PointPillarMax(PointPillarBase):
+    """Twin of models/point_pillar_max.py: post-backbone ego-warp + max
+    (max_modules/max_fuse.MaxFusion:31-112 — each agent's feature map is
+    warped to the ego frame with the normalized affine, then elementwise
+    max over present agents). ``point_pillar_fcooper`` is registered here
+    too: the reference ships opv2v_fcooper.yaml but no model file (F-Cooper
+    IS max fusion; the upstream config cannot run, documented quirk).
+
+    Without a ``v2vfusion`` block (or with identity poses / proj_first
+    datasets) this reduces to the plain masked max of
+    fuse_modules/fusion_in_one.MaxFusion:90."""
+
+    def setup_fusion(self):
+        v2v = self.args.get("v2vfusion") or {}
+        vs = v2v.get("voxel_size") or self.pre["args"]["voxel_size"]
+        self._discrete_ratio = float(vs[0])
+        self._downsample_rate = float(v2v.get("downsample_rate", 1))
+        self._warp_fuse = "v2vfusion" in self.args
+
     def fuse(self, grouped, batch, train):
+        if self._warp_fuse and "pairwise_t_full" in batch:
+            from airv2x_tpu.ops.warp import (
+                normalized_pairwise_affine,
+                warp_affine_normalized,
+            )
+
+            aff = normalized_pairwise_affine(
+                batch["pairwise_t_full"], grouped.shape[2], grouped.shape[3],
+                self._discrete_ratio, self._downsample_rate,
+            )[:, 0]
+            warped = warp_affine_normalized(grouped[:, 1:], aff[:, 1:])
+            grouped = jnp.concatenate([grouped[:, :1], warped], axis=1)
         return max_fusion(grouped, batch["agent_mask"]), jnp.asarray(1.0)
 
 

@@ -526,6 +526,10 @@ def _install_lrf_variants():
               "point_pillar_coalign_lrf.py")
     _make_lrf(PointPillarScope, ("point_pillar_scope_lrf",),
               "point_pillar_scope_lrf.py")
+    from airv2x_tpu.models.att_backbone_models import PointPillarSpatialCooper
+
+    _make_lrf(PointPillarSpatialCooper, ("point_pillar_spatialcooper_lrf",),
+              "point_pillar_spatialcooper_lrf.py")
     _make_lrf(PointPillarSiCP, ("point_pillar_sicp_lrf",),
               "point_pillar_sicp_lrf.py")
 

@@ -116,12 +116,17 @@ class ResNetBEVBackbone(nn.Module):
     num_upsample_filters: Sequence[int] = ()
     inplanes: int = 64
     resnext: bool = False
+    remat: bool = False  # recompute per-stage activations in backward
     dtype: Any = jnp.float32
 
     def setup(self):
         ins = [self.inplanes, *self.num_filters[:-1]]
+        stage_cls = (
+            nn.remat(ResNetStage, static_argnums=(2,))
+            if self.remat else ResNetStage
+        )
         self.stages = [
-            ResNetStage(
+            stage_cls(
                 planes=f,
                 blocks=n,
                 stride=s,

@@ -38,6 +38,11 @@ def parse_args():
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--half", action="store_true", help="bf16 compute")
     p.add_argument(
+        "--remat", action="store_true",
+        help="rematerialize backbone stages in backward (less activation "
+        "HBM for large per-chip batch; see doc/performance.md)",
+    )
+    p.add_argument(
         "--num_workers", type=int, default=4, help="prefetch workers"
     )
     p.add_argument(
@@ -188,6 +193,8 @@ def main():
     )
 
     hypes = load_yaml(opt.hypes_yaml, opt.model_dir or None)
+    if opt.remat:
+        hypes["model"]["args"]["remat"] = True
     tp = hypes["train_params"]
     epochs = opt.epochs or int(tp["epoches"])
     batch_size = opt.batch_size or int(tp["batch_size"])

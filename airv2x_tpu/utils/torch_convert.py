@@ -57,7 +57,10 @@ def linear_kernel(w) -> np.ndarray:
 
 
 def conv_kernel(w) -> np.ndarray:
-    return to_np(w).transpose(2, 3, 1, 0)
+    w = to_np(w)
+    if w.ndim == 5:  # Conv3d OIDHW -> DHWIO
+        return w.transpose(2, 3, 4, 1, 0)
+    return w.transpose(2, 3, 1, 0)
 
 
 def deconv_kernel(w) -> np.ndarray:
@@ -713,6 +716,12 @@ def _flat_mdd_fusion(ts, asg, args):
     for k in list(ts.sub("mdd").keys()):
         if ".denoiser." not in k:
             ts.consumed.add(k)
+
+
+def _flat_spatialcooper_fusion(ts, asg, args):
+    # spatial_cooper_fuse.SpatialFusion: one Conv3d(2->1) in a Sequential
+    convert_conv(ts.sub("fusion_net.conv3d"), asg, ("spatial_fuse3d",),
+                 scope="0")
 
 
 def _flat_v2xvit_fusion(ts, asg, args):
@@ -1683,6 +1692,12 @@ CONVERTERS: dict[str, Callable[[dict, dict, dict], Assigner]] = {
     "point_pillar_attfusion": convert_point_pillar_intermediate,
     "point_pillar_early": convert_point_pillar_intermediate,
     "point_pillar_max": convert_point_pillar_intermediate,
+    "point_pillar_fcooper": convert_point_pillar_intermediate,
+    "point_pillar_spatialcooper": _flat_converter(_flat_spatialcooper_fusion),
+    "point_pillar_spatialcooper_lrf": _flat_converter(
+        _flat_spatialcooper_fusion
+    ),
+    "point_pillar_adafusion": _flat_converter(_flat_spatialcooper_fusion),
     "point_pillar_baseline_multiscale": convert_point_pillar_intermediate,
     "point_pillar_where2comm": convert_point_pillar_intermediate,
     "point_pillar_where2comm_lrf": convert_point_pillar_intermediate,

@@ -998,3 +998,106 @@ def test_pfa_compression_e2e_parity():
         err = np.abs(got - want).max()
         scale = max(np.abs(want).max(), 1.0)
         assert err < 3e-3 * scale, f"PFA {k} e2e mismatch {err}"
+
+
+def test_point_pillar_max_warp_e2e_parity():
+    """Faithful point_pillar_max: post-backbone ego-warp + agent max
+    (max_modules/max_fuse.MaxFusion) with a non-identity agent-1 pose."""
+    from opencood.models.point_pillar_max import PointPillarMax as RefMax
+
+    from tests.test_flat_e2e_parity import _args, _hypes_for, _shared_inputs
+
+    args = _args()
+    args["backbone_fix"] = False
+    args["shrink_header"] = {
+        "kernal_size": [1], "stride": [1], "padding": [0],
+        "dim": [256], "input_dim": 384,
+    }
+    args["v2vfusion"] = {"voxel_size": args["voxel_size"],
+                         "downsample_rate": 2}
+    rng = np.random.default_rng(113)
+    data_dict, batch = _shared_inputs(args, rng)
+
+    th = np.deg2rad(-8.0)
+    t10 = np.eye(4, dtype=np.float32)
+    t10[0, 0] = t10[1, 1] = np.cos(th)
+    t10[0, 1], t10[1, 0] = -np.sin(th), np.sin(th)
+    t10[0, 3], t10[1, 3] = -0.9, 1.4
+    pair = np.tile(np.eye(4, dtype=np.float32), (1, 2, 2, 1, 1))
+    pair[0, 0, 1] = t10
+    pair[0, 1, 0] = np.linalg.inv(t10)
+    data_dict["pairwise_t_matrix"] = torch.tensor(pair.copy())
+    data_dict["lidar_pose"] = torch.zeros((2, 6))
+    batch["pairwise_t_full"] = jnp.asarray(pair)
+
+    torch.manual_seed(127)
+    ref = RefMax(args).eval()
+    randomize_batchnorms(ref, rng)
+    with torch.no_grad():
+        out_ref = ref(data_dict)
+
+    hypes = _hypes_for("point_pillar_max", args)
+    model = build_model(hypes)
+    variables = jax.jit(lambda r, b: model.init(r, b, train=False))(
+        {"params": jax.random.PRNGKey(0), "comm": jax.random.PRNGKey(1)},
+        batch,
+    )
+    asg = tc.CONVERTERS["point_pillar_max"](
+        {k: v for k, v in ref.state_dict().items()},
+        jax.tree.map(np.asarray, dict(variables)), hypes,
+    )
+    assert not asg.skipped, asg.skipped[:8]
+    out = model.apply(asg.variables, batch, train=False)
+    for k in ("psm", "rm"):
+        want = out_ref[k].permute(0, 2, 3, 1).numpy()
+        got = np.asarray(out[k])
+        assert got.shape == want.shape, (k, got.shape, want.shape)
+        err = np.abs(got - want).max()
+        scale = max(np.abs(want).max(), 1.0)
+        assert err < 3e-3 * scale, f"max-warp {k} e2e mismatch {err}"
+
+
+def test_spatialcooper_e2e_parity():
+    """Faithful S-AdaFusion: (max, mean) agent stack as a 2-channel 3D
+    volume over (feature, H, W), Conv3d(2->1, k3) + ReLU blend."""
+    from opencood.models.point_pillar_spatialcooper import (
+        PointPillarSpatialCooper as RefSC,
+    )
+
+    from tests.test_flat_e2e_parity import _args, _hypes_for, _shared_inputs
+
+    args = _args()
+    args["backbone_fix"] = False
+    args["shrink_header"] = {
+        "kernal_size": [1], "stride": [1], "padding": [0],
+        "dim": [256], "input_dim": 384,
+    }
+    rng = np.random.default_rng(131)
+    data_dict, batch = _shared_inputs(args, rng)
+
+    torch.manual_seed(137)
+    ref = RefSC(args).eval()
+    randomize_batchnorms(ref, rng)
+    with torch.no_grad():
+        out_ref = ref(data_dict)
+
+    hypes = _hypes_for("point_pillar_spatialcooper", args)
+    model = build_model(hypes)
+    variables = jax.jit(lambda r, b: model.init(r, b, train=False))(
+        {"params": jax.random.PRNGKey(0), "comm": jax.random.PRNGKey(1)},
+        batch,
+    )
+    asg = tc.CONVERTERS["point_pillar_spatialcooper"](
+        {k: v for k, v in ref.state_dict().items()},
+        jax.tree.map(np.asarray, dict(variables)), hypes,
+    )
+    assert not asg.skipped, asg.skipped[:8]
+    assert asg.torch_leftovers == [], asg.torch_leftovers[:8]
+    out = model.apply(asg.variables, batch, train=False)
+    for k in ("psm", "rm"):
+        want = out_ref[k].permute(0, 2, 3, 1).numpy()
+        got = np.asarray(out[k])
+        assert got.shape == want.shape, (k, got.shape, want.shape)
+        err = np.abs(got - want).max()
+        scale = max(np.abs(want).max(), 1.0)
+        assert err < 2e-3 * scale, f"spatialcooper {k} e2e mismatch {err}"
