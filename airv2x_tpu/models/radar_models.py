@@ -272,10 +272,80 @@ class PointPillarInterF(PointPillarBase):
         return ego_agent_attention(grouped, batch["agent_mask"]), jnp.asarray(1.0)
 
 
-@register_model("point_pillar_l4dr", "point_pillar_L4DR",
-                "point_pillar_intermediate_lrf")
+class MGFBackbone(nn.Module):
+    """l4dr_modules/att_bev_backbone.AttBEVBackbone_MGF twin: THREE
+    parallel conv-stage stacks — the [lidar, radar] channel concat plus a
+    lidar-only and a radar-only stream, each single-modality stream
+    self-gated per level by a sigmoid 3x3 conv (``Conv_LG/RG``, :135-160,
+    forward :326-327: the gated map propagates to the next stage) — with
+    per-level deblocks (the single-modality deblocks at HALF the upsample
+    width, :196-203). Per-level agent fusion runs in the model between
+    stage and deblock."""
+
+    layer_nums: tuple
+    layer_strides: tuple
+    num_filters: tuple
+    upsample_strides: tuple
+    num_upsample_filters: tuple
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        from airv2x_tpu.models.bev_backbone import BEVStage, DeconvBNReLU
+
+        mk = lambda: [  # noqa: E731 — three identical stage stacks
+            BEVStage(f, s, n, dtype=self.dtype)
+            for f, s, n in zip(
+                self.num_filters, self.layer_strides, self.layer_nums
+            )
+        ]
+        self.stages = mk()
+        self.l_stages = mk()
+        self.r_stages = mk()
+        self.lg_convs = [
+            nn.Conv(f, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False,
+                    dtype=self.dtype)
+            for f in self.num_filters
+        ]
+        self.rg_convs = [
+            nn.Conv(f, (3, 3), padding=[(1, 1), (1, 1)], use_bias=False,
+                    dtype=self.dtype)
+            for f in self.num_filters
+        ]
+        self.deblocks = [
+            DeconvBNReLU(f, s, dtype=self.dtype)
+            for f, s in zip(self.num_upsample_filters, self.upsample_strides)
+        ]
+        self.l_deblocks = [
+            DeconvBNReLU(f // 2, s, dtype=self.dtype)
+            for f, s in zip(self.num_upsample_filters, self.upsample_strides)
+        ]
+        self.r_deblocks = [
+            DeconvBNReLU(f // 2, s, dtype=self.dtype)
+            for f, s in zip(self.num_upsample_filters, self.upsample_strides)
+        ]
+
+    def __call__(self, x, lx, rx, fuse_fn, train: bool = False):
+        """fuse_fn: per-level agent fusion (flat (B*L,H,W,C) -> (B,H,W,C));
+        returns the concatenated up pyramid in the reference's
+        [concat, lidar, radar] per-level order (forward :330-343)."""
+        ups = []
+        for i in range(len(self.stages)):
+            x = self.stages[i](x, train)
+            lx = self.l_stages[i](lx, train)
+            rx = self.r_stages[i](rx, train)
+            lx = nn.sigmoid(self.lg_convs[i](lx)) * lx
+            rx = nn.sigmoid(self.rg_convs[i](rx)) * rx
+            ups.append(self.deblocks[i](fuse_fn(x), train))
+            ups.append(self.l_deblocks[i](fuse_fn(lx), train))
+            ups.append(self.r_deblocks[i](fuse_fn(rx), train))
+        return jnp.concatenate(ups, axis=-1)
+
+
+@register_model("point_pillar_l4dr", "point_pillar_L4DR")
 class PointPillarL4DR(PointPillarBase):
-    """LiDAR + 4D-radar gated pillar fusion then the standard spine.
+    """Faithful twin of models/point_pillar_L4DR.py: separate lidar/radar
+    PillarVFEs on the shared grid feed the three-stream MGF backbone with
+    per-level agent attention; heads on the 128*3*2 pyramid (:35-36).
 
     Batch carries a second cloud: ``radar_points`` / ``radar_points_mask``
     with the same slot layout.
@@ -294,8 +364,44 @@ class PointPillarL4DR(PointPillarBase):
             dtype=self.dtype,
             name="radar_vfe",
         )
-        c = pv["num_filters"][-1]
-        self.gate_conv = nn.Conv(c, (1, 1), dtype=self.dtype, name="lrf_gate")
+        bb = self.args["base_bev_backbone"]
+        self.mgf = MGFBackbone(
+            layer_nums=tuple(bb["layer_nums"]),
+            layer_strides=tuple(bb["layer_strides"]),
+            num_filters=tuple(bb["num_filters"]),
+            upsample_strides=tuple(bb["upsample_strides"]),
+            num_upsample_filters=tuple(bb["num_upsample_filter"]),
+            dtype=self.dtype,
+        )
+
+    def __call__(self, batch, train: bool = False):
+        lidar = self._encode_cloud(
+            batch["points"], batch["points_mask"], self.vfe, train
+        )
+        radar = self._encode_cloud(
+            batch["radar_points"], batch["radar_points_mask"],
+            self.radar_vfe, train,
+        )
+        b, l = lidar.shape[:2]
+        lid = lidar.reshape((b * l,) + lidar.shape[2:])
+        rad = radar.reshape((b * l,) + radar.shape[2:])
+        am = batch["agent_mask"]
+
+        def fuse_fn(f):
+            return ego_agent_attention(
+                f.reshape((b, l) + f.shape[1:]), am
+            )
+
+        feats = self.mgf(
+            jnp.concatenate([lid, rad], axis=-1), lid, rad, fuse_fn, train
+        )
+        if self.shrink_flag:
+            feats = self.shrink_conv(feats, train)
+        return {
+            "psm": self.cls_head(feats),
+            "rm": self.reg_head(feats),
+            "comm_rate": jnp.asarray(1.0),
+        }
 
     def _encode_cloud(self, pts, mask, vfe, train):
         pre = self.pre
@@ -327,23 +433,6 @@ class PointPillarL4DR(PointPillarBase):
             pf, pil.coords, pil.mask, ny=grid[1], nx=grid[0]
         )
         return bev.reshape((b, l) + bev.shape[1:])
-
-    def encode(self, batch, train):
-        lidar = self._encode_cloud(
-            batch["points"], batch["points_mask"], self.vfe, train
-        )
-        radar = self._encode_cloud(
-            batch["radar_points"], batch["radar_points_mask"], self.radar_vfe, train
-        )
-        gate = nn.sigmoid(
-            self.gate_conv(jnp.concatenate([lidar, radar], axis=-1))
-        )
-        fused = gate * lidar + (1.0 - gate) * radar
-        return fused * batch["agent_mask"][:, :, None, None, None].astype(fused.dtype)
-
-    def fuse(self, grouped, batch, train):
-        return ego_agent_attention(grouped, batch["agent_mask"]), jnp.asarray(1.0)
-
 
 @register_model("point_pillar_intermediate_lrf_MDD", "point_pillar_mdd")
 class PointPillarLRFMDD(_PerStageFusionBase):
@@ -510,11 +599,15 @@ def _install_lrf_variants():
     from airv2x_tpu.models.coalign_model import PointPillarCoAlign
     from airv2x_tpu.models.point_pillar_models import (
         PointPillarCoBEVT,
+        PointPillarIntermediate,
         PointPillarSiCP,
         PointPillarV2XViT,
         PointPillarWhere2comm,
     )
     from airv2x_tpu.models.scope_model import PointPillarScope
+
+    _make_lrf(PointPillarIntermediate, ("point_pillar_intermediate_lrf",),
+              "point_pillar_intermediate_lrf.py")
 
     _make_lrf(PointPillarV2XViT, ("point_pillar_v2xvit_lrf",),
               "point_pillar_v2xvit_lrf.py")

@@ -718,6 +718,68 @@ def _flat_mdd_fusion(ts, asg, args):
             ts.consumed.add(k)
 
 
+def convert_mgf_backbone(ts: TorchState, asg: Assigner, base: tuple, *,
+                         layer_nums, upsample_strides):
+    """l4dr_modules/att_bev_backbone.AttBEVBackbone_MGF -> MGFBackbone:
+    three stage stacks + three deblock sets + the per-level sigmoid
+    self-gates; the fuse_modules AttFusion is parameter-less."""
+    for prefix, stage in (("blocks", "stages"), ("L_blocks", "l_stages"),
+                          ("R_blocks", "r_stages")):
+        for i, n in enumerate(layer_nums):
+            blk = ts.sub(f"{prefix}.{i}")
+            for k in range(n + 1):
+                dst = base + (f"{stage}_{i}", f"ConvBNReLU_{k}")
+                convert_conv(blk, asg, dst + ("Conv_0",), scope=f"{1 + 3 * k}")
+                convert_bn(blk, asg, dst + ("BatchNorm_0",),
+                           scope=f"{2 + 3 * k}")
+    for prefix, deb_name in (("deblocks", "deblocks"),
+                             ("L_deblocks", "l_deblocks"),
+                             ("R_deblocks", "r_deblocks")):
+        for i, stride in enumerate(upsample_strides):
+            deb = ts.sub(f"{prefix}.{i}")
+            if f"{prefix}.{i}.0.weight" not in ts:
+                continue
+            dst = base + (f"{deb_name}_{i}",)
+            if stride >= 1:
+                convert_deconv(deb, asg, dst + ("ConvTranspose_0",),
+                               scope="0")
+            else:
+                convert_conv(deb, asg, dst + ("Conv_0",), scope="0")
+            convert_bn(deb, asg, dst + ("BatchNorm_0",), scope="1")
+    for i in range(len(layer_nums)):
+        convert_conv(ts.sub(f"Conv_LG.{i}"), asg,
+                     base + (f"lg_convs_{i}",), scope="0")
+        convert_conv(ts.sub(f"Conv_RG.{i}"), asg,
+                     base + (f"rg_convs_{i}",), scope="0")
+
+
+def convert_point_pillar_l4dr(sd: dict, variables: dict,
+                              hypes: dict) -> Assigner:
+    """PointPillarL4DR (point_pillar_L4DR.py) -> faithful flax twin."""
+    args = dict(hypes["model"]["args"])
+    args.setdefault("preprocess", hypes.get("preprocess"))
+    ts = TorchState(strip_module_prefix(sd))
+    asg = Assigner(variables)
+    pre = args.get("preprocess") or {}
+    nf = args["pillar_vfe"]["num_filters"]
+    fast = bool((pre.get("args") or {}).get("fast_pillars", True)) and len(nf) == 1
+    convert_pillar_vfe(ts.sub("lidar_pillar_vfe"), asg, ("vfe",), fast=fast,
+                       num_layers=len(nf))
+    convert_pillar_vfe(ts.sub("radar_pillar_vfe"), asg, ("radar_vfe",),
+                       fast=fast, num_layers=len(nf))
+    bb = args["base_bev_backbone"]
+    convert_mgf_backbone(
+        ts.sub("backbone"), asg, ("mgf",),
+        layer_nums=bb["layer_nums"],
+        upsample_strides=bb.get("upsample_strides", ()),
+    )
+    convert_det_heads(ts, asg, base=())
+    for k in list(ts.sub("backbone.fuse_modules").keys()):
+        ts.consumed.add(k)
+    asg.torch_leftovers = ts.leftovers()
+    return asg
+
+
 def _flat_spatialcooper_fusion(ts, asg, args):
     # spatial_cooper_fuse.SpatialFusion: one Conv3d(2->1) in a Sequential
     convert_conv(ts.sub("fusion_net.conv3d"), asg, ("spatial_fuse3d",),
@@ -1709,6 +1771,8 @@ CONVERTERS: dict[str, Callable[[dict, dict, dict], Assigner]] = {
     "point_pillar_disconet": convert_point_pillar_intermediate,
     "point_pillar_disconet_teacher": convert_point_pillar_intermediate,
     "point_pillar_intermediate_lrf": convert_point_pillar_intermediate,
+    "point_pillar_l4dr": convert_point_pillar_l4dr,
+    "point_pillar_L4DR": convert_point_pillar_l4dr,
     "point_pillar_intermediate_lrf_MDD": _flat_converter(_flat_mdd_fusion),
     "point_pillar_mdd": _flat_converter(_flat_mdd_fusion),
     "point_pillar_v2xvit": convert_point_pillar_v2xvit,

@@ -1101,3 +1101,83 @@ def test_spatialcooper_e2e_parity():
         err = np.abs(got - want).max()
         scale = max(np.abs(want).max(), 1.0)
         assert err < 2e-3 * scale, f"spatialcooper {k} e2e mismatch {err}"
+
+
+def test_l4dr_e2e_parity():
+    """Faithful L4DR: three-stream MGF backbone ([lidar,radar] concat +
+    sigmoid-self-gated lidar and radar streams), per-level agent attention
+    on every stream, half-width single-modality deblocks, heads on the
+    128*3*2 pyramid."""
+    from opencood.models.point_pillar_L4DR import PointPillarL4DR as RefL4DR
+
+    from airv2x_tpu.ops.voxelize import pillarize
+    from tests.test_flat_e2e_parity import (
+        GRID,
+        L,
+        N_PTS,
+        _args,
+        _hypes_for,
+        _shared_inputs,
+    )
+
+    args = _args()
+    args["anchor_num"] = args["anchor_number"]
+    rng = np.random.default_rng(139)
+    data_dict, batch = _shared_inputs(args, rng)
+
+    lr = args["lidar_range"]
+    rpts = np.zeros((L, N_PTS // 2, 4), np.float32)
+    for a in range(L):
+        rpts[a, :, 0] = rng.uniform(lr[0], lr[3], N_PTS // 2)
+        rpts[a, :, 1] = rng.uniform(lr[1], lr[4], N_PTS // 2)
+        rpts[a, :, 2] = rng.uniform(-2.5, 0.5, N_PTS // 2)
+        rpts[a, :, 3] = rng.uniform(0, 1, N_PTS // 2)
+    rmask = np.ones((L, N_PTS // 2), bool)
+    vf, npts, co = [], [], []
+    for a in range(L):
+        vox = pillarize(
+            jnp.asarray(rpts[a]), jnp.asarray(rmask[a]),
+            lidar_range=jnp.asarray(lr, jnp.float32),
+            voxel_size=jnp.asarray(args["voxel_size"], jnp.float32),
+            grid_size=(GRID, GRID, 1), max_pillars=512,
+            max_points_per_pillar=8,
+        )
+        m = np.asarray(vox.mask)
+        vf.append(np.asarray(vox.voxels)[m])
+        npts.append(np.asarray(vox.num_points)[m])
+        c = np.asarray(vox.coords)[m]
+        co.append(np.concatenate([np.full((len(c), 1), a, c.dtype), c], 1))
+    data_dict["processed_radar"] = {
+        "voxel_features": torch.tensor(np.concatenate(vf)),
+        "voxel_num_points": torch.tensor(np.concatenate(npts)),
+        "voxel_coords": torch.tensor(np.concatenate(co)),
+    }
+    batch["radar_points"] = jnp.asarray(rpts[None])
+    batch["radar_points_mask"] = jnp.asarray(rmask[None])
+
+    torch.manual_seed(149)
+    ref = RefL4DR(args).eval()
+    randomize_batchnorms(ref, rng)
+    with torch.no_grad():
+        out_ref = ref(data_dict)
+
+    hypes = _hypes_for("point_pillar_l4dr", args)
+    model = build_model(hypes)
+    variables = jax.jit(lambda r, b: model.init(r, b, train=False))(
+        {"params": jax.random.PRNGKey(0), "comm": jax.random.PRNGKey(1)},
+        batch,
+    )
+    asg = tc.CONVERTERS["point_pillar_l4dr"](
+        {k: v for k, v in ref.state_dict().items()},
+        jax.tree.map(np.asarray, dict(variables)), hypes,
+    )
+    assert not asg.skipped, asg.skipped[:8]
+    assert asg.torch_leftovers == [], asg.torch_leftovers[:8]
+    out = model.apply(asg.variables, batch, train=False)
+    for k in ("psm", "rm"):
+        want = out_ref[k].permute(0, 2, 3, 1).numpy()
+        got = np.asarray(out[k])
+        assert got.shape == want.shape, (k, got.shape, want.shape)
+        err = np.abs(got - want).max()
+        scale = max(np.abs(want).max(), 1.0)
+        assert err < 3e-3 * scale, f"l4dr {k} e2e mismatch {err}"
