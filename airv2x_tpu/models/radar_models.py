@@ -144,67 +144,86 @@ class RTNHIntermediate(PointPillarBase):
 
 
 class InterRAL(nn.Module):
-    """Pillar-level LiDAR<->radar cross attention (twin of
-    interf_modules/Inter_pillar_vfe.interRAL :10-37): per pillar, lidar
-    points query the radar points sharing that cell; q/k projections share
-    weights, attention is double-normalized (softmax over radar points then
-    re-normalized over lidar points), the residual passes through a BN'd
-    transform, and a max over points yields the pillar feature."""
+    """Faithful interRAL (interf_modules/Inter_pillar_vfe.py:10-37): for
+    every point slot k (the bmm batch axis, :26-31), each pillar ROW of x
+    attends over ALL pillar rows of y — cross-PILLAR attention spanning the
+    sample's whole flat voxel list (all agents), not within-cell point
+    attention. q/k share one projection (:16); the softmax over y rows is
+    re-normalized over x rows (:31-32); the residual runs trans_conv +
+    BatchNorm1d + ReLU, and a max over point slots yields the pillar
+    feature. Padded pillar ROWS (a static-slot artifact — the reference's
+    voxel list is ragged) are masked out of the attention and the BN
+    statistics; padded POINT slots participate exactly like the
+    reference's zeroed padding.
+
+    Cost is O(K * N^2) in the pillar count: at the V2X-R configs' 32k-70k
+    voxel caps this attention cannot execute upstream either — run with a
+    reduced ``max_voxel`` budget."""
 
     channels: int
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, x_aug, x_pmask, y_aug, y_pmask, train: bool = False):
-        """x_aug (..., P, K, F) lidar augmented points; y_aug (..., P, Kr, F)
-        radar points of the same cells; *_pmask point validity ->
-        (..., P, channels)."""
-        from airv2x_tpu.models.fusion.common import masked_softmax
+    def __call__(self, x_aug, y_aug, x_rowmask, y_rowmask,
+                 train: bool = False):
+        """x_aug (B, N, K, F) augmented points; y_aug (B, M, K, F);
+        rowmasks (B, N)/(B, M) -> (B, N, channels)."""
         from airv2x_tpu.models.nn import MaskedBatchNorm
 
         lin = nn.Dense(self.channels, dtype=self.dtype, name="shared_linear")
         x = lin(x_aug)
         y = lin(y_aug)
         qk = nn.Dense(
-            self.channels // 16, use_bias=False, dtype=self.dtype, name="qk_conv"
+            self.channels // 16, use_bias=False, dtype=self.dtype,
+            name="qk_conv",
         )  # q_conv.weight = k_conv.weight in the reference (:16)
-        q = qk(x)
-        k = qk(y)
+        q = qk(x)  # (B, N, K, c)
+        k = qk(y)  # (B, M, K, c)
         v = nn.Dense(self.channels, dtype=self.dtype, name="v_conv")(y)
 
-        energy = jnp.einsum("...kc,...jc->...kj", q, k)
-        attn = masked_softmax(energy, y_pmask[..., None, :], axis=-1)
+        energy = jnp.einsum("bnkc,bmkc->bknm", q, k)
+        energy = jnp.where(
+            y_rowmask[:, None, None, :], energy,
+            jnp.asarray(-1e9, energy.dtype),
+        )
+        attn = jax.nn.softmax(energy, axis=-1)
+        # zero padded rows on BOTH axes so the reference's x-row
+        # re-normalization (:31-32, dim=1) sums over real rows only
+        attn = attn * x_rowmask[:, None, :, None].astype(attn.dtype)
+        attn = attn * y_rowmask[:, None, None, :].astype(attn.dtype)
         attn = attn / (1e-9 + jnp.sum(attn, axis=-2, keepdims=True))
-        y_r = jnp.einsum("...kj,...jc->...kc", attn, v)
+        y_r = jnp.einsum("bknm,bmkc->bnkc", attn, v)
 
-        t = nn.Dense(self.channels, dtype=self.dtype, name="trans_conv")(x - y_r)
-        t = nn.relu(MaskedBatchNorm(dtype=self.dtype)(t, x_pmask, train))
+        t = nn.Dense(self.channels, dtype=self.dtype, name="trans_conv")(
+            x - y_r
+        )
+        # BatchNorm1d on (N, C, K): per-channel stats over rows AND point
+        # slots; only the padded-row exclusion deviates (ragged upstream)
+        bn_mask = jnp.broadcast_to(x_rowmask[..., None], t.shape[:-1])
+        t = nn.relu(MaskedBatchNorm(dtype=self.dtype)(t, bn_mask, train))
         x = x + t
-
-        neg = jnp.asarray(-1e9, x.dtype)
-        x = jnp.where(x_pmask[..., None], x, neg)
-        out = jnp.max(x, axis=-2)
-        return jnp.where(out <= neg / 2, 0.0, out)
+        return jnp.max(x, axis=-2)  # max includes padded point slots (:35)
 
 
 @register_model("point_pillar_interf", "point_pillar_InterF")
-class PointPillarInterF(PointPillarBase):
-    """Interaction-at-the-VFE-level LiDAR/radar fusion (twin of
-    point_pillar_InterF.py + interf_modules/Inter_pillar_vfe.interRAL):
-    lidar and radar are pillarized on the shared grid, pillars of the same
-    cell are aligned, and interRAL cross-attention replaces the PFN."""
+class PointPillarInterF(_PerStageFusionBase):
+    """Faithful twin of point_pillar_InterF.py: lidar and radar pillarized
+    separately (InterFVFE is the 10-dim augmentation WITHOUT a PFN,
+    Inter_pillar_vfe.py:180+), the SHARED interRAL applied in both
+    directions (:68-69), each output scattered to its own 64-ch canvas,
+    channel concat (128) into the common AttBEVBackbone per-stage agent
+    attention, heads on 128*3 (:33-36)."""
 
     _force_classic_vfe = True  # interRAL consumes raw pillar point tensors
 
     def setup_fusion(self):
-        pv = self.args["pillar_vfe"]
+        super().setup_fusion()
         self.inter_ral = InterRAL(
-            channels=pv["num_filters"][-1], dtype=self.dtype, name="inter_ral"
+            channels=int(self.args.get("interral_channels", 64)),
+            dtype=self.dtype, name="inter_ral",
         )
 
     def encode(self, batch, train):
-        import jax
-
         from airv2x_tpu.models.pillar_vfe import augment_pillar_points
 
         pre = self.pre
@@ -218,7 +237,7 @@ class PointPillarInterF(PointPillarBase):
         pts = batch["points"]
         b, l = pts.shape[:2]
 
-        def pil(p, m, cap_key="max_points_per_voxel"):
+        def pil(p, m):
             return pillarize_batch(
                 p.reshape((b * l,) + p.shape[2:]),
                 m.reshape((b * l,) + p.shape[2:3]),
@@ -226,50 +245,49 @@ class PointPillarInterF(PointPillarBase):
                 voxel_size=jnp.asarray(voxel_size, jnp.float32),
                 grid_size=grid,
                 max_pillars=int(pre["args"].get("max_voxel_train", 16000)),
-                max_points_per_pillar=int(pre["args"].get(cap_key, 32)),
+                max_points_per_pillar=int(
+                    pre["args"].get("max_points_per_voxel", 32)
+                ),
             )
 
         pl = pil(batch["points"], batch["points_mask"])
         pr = pil(batch["radar_points"], batch["radar_points_mask"])
-
-        # align: dense cell -> radar pillar row, then gather radar pillars
-        # at each lidar pillar's cell
-        def align(coords_l, mask_l, coords_r, mask_r, vox_r, np_r):
-            cell_r = coords_r[:, 1] * nx + coords_r[:, 2]
-            cell_r = jnp.where(mask_r, cell_r, ny * nx)  # park invalid
-            rows = (
-                jnp.full(ny * nx + 1, -1, jnp.int32)
-                .at[cell_r]
-                .set(jnp.arange(cell_r.shape[0], dtype=jnp.int32))
-            )
-            cell_l = coords_l[:, 1] * nx + coords_l[:, 2]
-            r_row = rows[jnp.where(mask_l, cell_l, ny * nx)]
-            matched = r_row >= 0
-            safe = jnp.maximum(r_row, 0)
-            vox = vox_r[safe] * matched[:, None, None].astype(vox_r.dtype)
-            npts = np_r[safe] * matched.astype(np_r.dtype)
-            return vox, npts
-
-        vox_r, np_r = jax.vmap(align)(
-            pl.coords, pl.mask, pr.coords, pr.mask, pr.voxels, pr.num_points
-        )
-
-        x_aug, x_pm = augment_pillar_points(
+        x_aug, _ = augment_pillar_points(
             pl.voxels, pl.num_points, pl.coords,
             voxel_size=voxel_size, lidar_range=lidar_range, dtype=self.dtype,
         )
-        y_aug, y_pm = augment_pillar_points(
-            vox_r, np_r, pl.coords,
+        y_aug, _ = augment_pillar_points(
+            pr.voxels, pr.num_points, pr.coords,
             voxel_size=voxel_size, lidar_range=lidar_range, dtype=self.dtype,
         )
-        pf = self.inter_ral(x_aug, x_pm, y_aug, y_pm, train)
-        pf = pf * pl.mask[..., None].astype(pf.dtype)
-        bev = scatter_pillars_to_bev_batch(pf, pl.coords, pl.mask, ny=ny, nx=nx)
-        bev = bev.reshape((b, l) + bev.shape[1:])
-        return bev * batch["agent_mask"][:, :, None, None, None].astype(bev.dtype)
+        # the reference's flat voxel list concatenates the sample's agents:
+        # attention spans all L agents' pillars (interRAL ignores the
+        # batch/agent coord column)
+        p = x_aug.shape[1]
 
-    def fuse(self, grouped, batch, train):
-        return ego_agent_attention(grouped, batch["agent_mask"]), jnp.asarray(1.0)
+        def flat(a, m):
+            return (
+                a.reshape((b, l * p) + a.shape[2:]),
+                m.reshape(b, l * p),
+            )
+
+        xf, xm = flat(x_aug, pl.mask)
+        yf, ym = flat(y_aug, pr.mask)
+        lid = self.inter_ral(xf, yf, xm, ym, train)
+        rad = self.inter_ral(yf, xf, ym, xm, train)
+        lid = lid.reshape((b * l, p) + lid.shape[2:])
+        rad = rad.reshape((b * l, p) + rad.shape[2:])
+        lid = lid * pl.mask[..., None].astype(lid.dtype)
+        rad = rad * pr.mask[..., None].astype(rad.dtype)
+        bev_l = scatter_pillars_to_bev_batch(lid, pl.coords, pl.mask,
+                                             ny=ny, nx=nx)
+        bev_r = scatter_pillars_to_bev_batch(rad, pr.coords, pr.mask,
+                                             ny=ny, nx=nx)
+        bev = jnp.concatenate([bev_l, bev_r], axis=-1)
+        bev = bev.reshape((b, l) + bev.shape[1:])
+        return bev * batch["agent_mask"][:, :, None, None, None].astype(
+            bev.dtype
+        )
 
 
 class MGFBackbone(nn.Module):

@@ -718,6 +718,46 @@ def _flat_mdd_fusion(ts, asg, args):
             ts.consumed.add(k)
 
 
+def _conv1d_as_dense(ts: TorchState, asg: Assigner, path: tuple, scope: str):
+    """1x1 Conv1d == Dense: weight (out, in, 1) -> kernel (in, out)."""
+    w = to_np(ts.get(f"{scope}.weight"))[:, :, 0].T
+    asg.put("params", path + ("kernel",), w)
+    if f"{scope}.bias" in ts:
+        asg.put("params", path + ("bias",), to_np(ts.get(f"{scope}.bias")))
+
+
+def convert_point_pillar_interf(sd: dict, variables: dict,
+                                hypes: dict) -> Assigner:
+    """PointPillarInterF (point_pillar_InterF.py) -> faithful flax twin:
+    InterFVFE is parameter-less (pure point augmentation); interRAL's
+    shared q/k Conv1d collapses to one Dense (q_conv.weight IS
+    k_conv.weight upstream, Inter_pillar_vfe.py:16); BatchNorm1d ->
+    MaskedBatchNorm."""
+    args = dict(hypes["model"]["args"])
+    args.setdefault("preprocess", hypes.get("preprocess"))
+    ts = TorchState(strip_module_prefix(sd))
+    asg = Assigner(variables)
+    ir = ts.sub("interral")
+    convert_linear(ir, asg, ("inter_ral", "shared_linear"), scope="linear")
+    _conv1d_as_dense(ir, asg, ("inter_ral", "qk_conv"), "q_conv")
+    ir.get("k_conv.weight")  # alias of q_conv.weight — consume
+    _conv1d_as_dense(ir, asg, ("inter_ral", "v_conv"), "v_conv")
+    _conv1d_as_dense(ir, asg, ("inter_ral", "trans_conv"), "trans_conv")
+    convert_bn(ir, asg, ("inter_ral", "MaskedBatchNorm_0"),
+               scope="after_norm")
+    bb = args["base_bev_backbone"]
+    convert_bev_backbone(
+        ts.sub("backbone"), asg, ("backbone",),
+        layer_nums=bb["layer_nums"],
+        upsample_strides=bb.get("upsample_strides", ()),
+    )
+    convert_det_heads(ts, asg, base=())
+    for k in list(ts.sub("backbone.fuse_modules").keys()):
+        ts.consumed.add(k)
+    asg.torch_leftovers = ts.leftovers()
+    return asg
+
+
 def convert_mgf_backbone(ts: TorchState, asg: Assigner, base: tuple, *,
                          layer_nums, upsample_strides):
     """l4dr_modules/att_bev_backbone.AttBEVBackbone_MGF -> MGFBackbone:
@@ -1773,6 +1813,8 @@ CONVERTERS: dict[str, Callable[[dict, dict, dict], Assigner]] = {
     "point_pillar_intermediate_lrf": convert_point_pillar_intermediate,
     "point_pillar_l4dr": convert_point_pillar_l4dr,
     "point_pillar_L4DR": convert_point_pillar_l4dr,
+    "point_pillar_interf": convert_point_pillar_interf,
+    "point_pillar_InterF": convert_point_pillar_interf,
     "point_pillar_intermediate_lrf_MDD": _flat_converter(_flat_mdd_fusion),
     "point_pillar_mdd": _flat_converter(_flat_mdd_fusion),
     "point_pillar_v2xvit": convert_point_pillar_v2xvit,

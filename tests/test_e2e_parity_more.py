@@ -1181,3 +1181,98 @@ def test_l4dr_e2e_parity():
         err = np.abs(got - want).max()
         scale = max(np.abs(want).max(), 1.0)
         assert err < 3e-3 * scale, f"l4dr {k} e2e mismatch {err}"
+
+
+def test_interf_e2e_parity():
+    """Faithful InterF: 10-dim augmented pillars, bidirectional shared
+    interRAL cross-pillar attention (per point slot, spanning all agents'
+    pillar rows), per-modality scatter, concat into AttBEVBackbone."""
+    from opencood.models.point_pillar_InterF import (
+        PointPillarInterF as RefInterF,
+    )
+
+    from airv2x_tpu.ops.voxelize import pillarize
+    from tests.test_flat_e2e_parity import (
+        GRID,
+        L,
+        _args,
+        _hypes_for,
+        _shared_inputs,
+    )
+
+    args = _args()
+    args["anchor_num"] = args["anchor_number"]
+    rng = np.random.default_rng(151)
+    # few points -> small pillar count (the attention is O(K * N^2))
+    n_pts = 120
+    lr = args["lidar_range"]
+
+    def cloud(n):
+        p = np.zeros((L, n, 4), np.float32)
+        for a in range(L):
+            p[a, :, 0] = rng.uniform(lr[0], lr[3], n)
+            p[a, :, 1] = rng.uniform(lr[1], lr[4], n)
+            p[a, :, 2] = rng.uniform(-2.5, 0.5, n)
+            p[a, :, 3] = rng.uniform(0, 1, n)
+        return p
+
+    data_dict, batch = _shared_inputs(args, rng)
+
+    def voxels(pts):
+        vf, npts, co = [], [], []
+        for a in range(L):
+            vox = pillarize(
+                jnp.asarray(pts[a]), jnp.ones((pts.shape[1],), bool),
+                lidar_range=jnp.asarray(lr, jnp.float32),
+                voxel_size=jnp.asarray(args["voxel_size"], jnp.float32),
+                grid_size=(GRID, GRID, 1), max_pillars=512,
+                max_points_per_pillar=8,
+            )
+            m = np.asarray(vox.mask)
+            vf.append(np.asarray(vox.voxels)[m])
+            npts.append(np.asarray(vox.num_points)[m])
+            c = np.asarray(vox.coords)[m]
+            co.append(
+                np.concatenate([np.full((len(c), 1), a, c.dtype), c], 1)
+            )
+        return {
+            "voxel_features": torch.tensor(np.concatenate(vf)),
+            "voxel_num_points": torch.tensor(np.concatenate(npts)),
+            "voxel_coords": torch.tensor(np.concatenate(co)),
+        }
+
+    lpts, rpts = cloud(n_pts), cloud(n_pts // 2)
+    data_dict["processed_lidar"] = voxels(lpts)
+    data_dict["processed_radar"] = voxels(rpts)
+    batch["points"] = jnp.asarray(lpts[None])
+    batch["points_mask"] = jnp.ones((1, L, n_pts), bool)
+    batch["radar_points"] = jnp.asarray(rpts[None])
+    batch["radar_points_mask"] = jnp.ones((1, L, n_pts // 2), bool)
+
+    torch.manual_seed(157)
+    ref = RefInterF(args).eval()
+    randomize_batchnorms(ref, rng)
+    with torch.no_grad():
+        out_ref = ref(data_dict)
+
+    hypes = _hypes_for("point_pillar_interf", args)
+    hypes["preprocess"]["args"]["max_voxel_train"] = 512
+    model = build_model(hypes)
+    variables = jax.jit(lambda r, b: model.init(r, b, train=False))(
+        {"params": jax.random.PRNGKey(0), "comm": jax.random.PRNGKey(1)},
+        batch,
+    )
+    asg = tc.CONVERTERS["point_pillar_interf"](
+        {k: v for k, v in ref.state_dict().items()},
+        jax.tree.map(np.asarray, dict(variables)), hypes,
+    )
+    assert not asg.skipped, asg.skipped[:8]
+    assert asg.torch_leftovers == [], asg.torch_leftovers[:8]
+    out = model.apply(asg.variables, batch, train=False)
+    for k in ("psm", "rm"):
+        want = out_ref[k].permute(0, 2, 3, 1).numpy()
+        got = np.asarray(out[k])
+        assert got.shape == want.shape, (k, got.shape, want.shape)
+        err = np.abs(got - want).max()
+        scale = max(np.abs(want).max(), 1.0)
+        assert err < 3e-3 * scale, f"interf {k} e2e mismatch {err}"

@@ -105,28 +105,44 @@ def test_interf_forward():
 
 
 def test_interral_semantics():
-    """Radar points in the same cell change the pillar feature; empty radar
-    cells reduce to the pure lidar transform path."""
+    """Faithful interRAL: cross-PILLAR attention per point slot. Padded
+    pillar rows on either side must not influence the real rows' outputs
+    (masked attention + masked BN stats)."""
     import jax
     import jax.numpy as jnp
 
     from airv2x_tpu.models.radar_models import InterRAL
 
     rng = np.random.default_rng(7)
-    P, K, Kr, F = 4, 6, 3, 10
-    x = jnp.asarray(rng.normal(size=(P, K, F)).astype(np.float32))
-    xm = jnp.ones((P, K), bool)
-    y = jnp.asarray(rng.normal(size=(P, Kr, F)).astype(np.float32))
-    ym = jnp.ones((P, Kr), bool).at[0].set(False)  # pillar 0: no radar
+    B, N, M, K, F = 1, 5, 4, 6, 10
+    x = rng.normal(size=(B, N, K, F)).astype(np.float32)
+    y = rng.normal(size=(B, M, K, F)).astype(np.float32)
+    xm = np.ones((B, N), bool)
+    xm[:, -1] = False  # padded lidar row
+    ym = np.ones((B, M), bool)
+    ym[:, -1] = False  # padded radar row
 
     mod = InterRAL(channels=16)
-    v = mod.init(jax.random.PRNGKey(0), x, xm, y, ym, False)
-    out = mod.apply(v, x, xm, y, ym, False)
-    assert out.shape == (P, 16)
+    v = mod.init(jax.random.PRNGKey(0), jnp.asarray(x), jnp.asarray(y),
+                 jnp.asarray(xm), jnp.asarray(ym), False)
+    out = mod.apply(v, jnp.asarray(x), jnp.asarray(y), jnp.asarray(xm),
+                    jnp.asarray(ym), False)
+    assert out.shape == (B, N, 16)
     assert np.isfinite(np.asarray(out)).all()
 
-    # perturbing radar changes pillars with radar, not pillar 0
-    y2 = y + 1.0
-    out2 = mod.apply(v, x, xm, y2, ym, False)
-    assert np.allclose(np.asarray(out[0]), np.asarray(out2[0]), atol=1e-6)
-    assert not np.allclose(np.asarray(out[1]), np.asarray(out2[1]), atol=1e-4)
+    # garbage in the padded rows leaves real-row outputs unchanged
+    x2, y2 = x.copy(), y.copy()
+    x2[:, -1] += 100.0
+    y2[:, -1] -= 50.0
+    out2 = mod.apply(v, jnp.asarray(x2), jnp.asarray(y2), jnp.asarray(xm),
+                     jnp.asarray(ym), False)
+    np.testing.assert_allclose(
+        np.asarray(out[:, :-1]), np.asarray(out2[:, :-1]), atol=1e-5
+    )
+    # perturbing a REAL radar row changes every real lidar row's output
+    y3 = y.copy()
+    y3[:, 0] += 1.0
+    out3 = mod.apply(v, jnp.asarray(x), jnp.asarray(y3), jnp.asarray(xm),
+                     jnp.asarray(ym), False)
+    assert not np.allclose(np.asarray(out[:, 0]), np.asarray(out3[:, 0]),
+                           atol=1e-4)
