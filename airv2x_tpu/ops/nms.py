@@ -59,8 +59,10 @@ def rotated_nms(
     top_valid = top_scores > neg_inf
 
     # fused Pallas kernel when k matches the tile grid (64/128 multiples),
-    # XLA 24-candidate path otherwise (pallas_iou.py STATUS)
-    iou = pairwise_quad_iou_fused(top_corners, top_corners)  # (k, k)
+    # XLA 24-candidate path otherwise (pallas_iou.py STATUS). Greedy
+    # suppression only reads pairs where the row outranks the column
+    # (``earlier`` below), so the kernel skips lower-triangle tiles.
+    iou = pairwise_quad_iou_fused(top_corners, top_corners, triangular=True)
 
     # over[i, j] == True: the better-ranked box i suppresses j *if i is kept*.
     rank = jnp.arange(k)

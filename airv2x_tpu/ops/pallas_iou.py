@@ -51,7 +51,34 @@ def _ge0(x):
     return jnp.minimum(jnp.sign(x) + 1.0, 1.0)
 
 
-def _iou_tile_kernel(q1_ref, q2_ref, out_ref):
+def _iou_tile_kernel(q1_ref, q2_ref, out_ref, *, triangular: bool = False):
+    """One (TI, TJ) tile of the pair matrix.
+
+    ``triangular=True`` skips tiles that lie entirely in the strict lower
+    triangle of the global matrix (row rank >= every column rank in the
+    tile): greedy NMS only ever reads iou[i, j] where i outranks j
+    (``earlier`` mask in ops/nms.py), so those tiles can be zero-filled
+    without touching the result. At 512x512 with (64, 128) tiles this
+    skips 12 of 32 tiles (37.5% of the kernel work).
+    """
+    if triangular:
+        ti, tj = out_ref.shape
+        row0 = pl.program_id(0) * ti
+        col_end = (pl.program_id(1) + 1) * tj
+        skip = row0 >= col_end  # every (i, j) in the tile has i > j
+
+        @pl.when(skip)
+        def _zero():
+            out_ref[:, :] = jnp.zeros_like(out_ref)
+
+        @pl.when(jnp.logical_not(skip))
+        def _full():
+            _iou_tile_body(q1_ref, q2_ref, out_ref)
+    else:
+        _iou_tile_body(q1_ref, q2_ref, out_ref)
+
+
+def _iou_tile_body(q1_ref, q2_ref, out_ref):
     ti = q1_ref.shape[0]
     tj = q2_ref.shape[0]
 
@@ -220,32 +247,42 @@ def _iou_tile_kernel(q1_ref, q2_ref, out_ref):
     out_ref[:, :] = inter / jnp.maximum(union, _EPS)
 
 
-@partial(jax.jit, static_argnames=("tile_i", "tile_j"))
+@partial(jax.jit, static_argnames=("tile_i", "tile_j", "triangular"))
 def pairwise_quad_iou_pallas(
-    c1: jnp.ndarray, c2: jnp.ndarray, tile_i: int = 64, tile_j: int = 128
+    c1: jnp.ndarray,
+    c2: jnp.ndarray,
+    tile_i: int = 64,
+    tile_j: int = 128,
+    triangular: bool = False,
 ) -> jnp.ndarray:
     """(N, 4, 2) x (M, 4, 2) -> (N, M) IoU via the fused VMEM kernel.
 
     N and M must be multiples of the tile sizes (the NMS path pads to a
-    power-of-two top_k, which satisfies this).
+    power-of-two top_k, which satisfies this). With ``triangular=True``
+    only the strict upper triangle i < j is guaranteed (lower-triangle
+    tiles are zero-filled) — valid when the caller only reads pairs where
+    the row outranks the column, as greedy NMS does.
     """
     n, m = c1.shape[0], c2.shape[0]
     assert n % tile_i == 0 and m % tile_j == 0, (n, m, tile_i, tile_j)
     grid = (n // tile_i, m // tile_j)
-    return _call(c1, c2, grid, tile_i, tile_j, interpret=False)
+    return _call(c1, c2, grid, tile_i, tile_j, interpret=False,
+                 triangular=triangular)
 
 
-def pairwise_quad_iou_interpret(c1, c2, tile_i: int = 128, tile_j: int = 128):
+def pairwise_quad_iou_interpret(c1, c2, tile_i: int = 128, tile_j: int = 128,
+                                triangular: bool = False):
     """Interpreter-mode execution (used by the semantics tests)."""
     n, m = c1.shape[0], c2.shape[0]
     grid = (n // tile_i, m // tile_j)
-    return _call(c1, c2, grid, tile_i, tile_j, interpret=True)
+    return _call(c1, c2, grid, tile_i, tile_j, interpret=True,
+                 triangular=triangular)
 
 
 _FUSED_OK: bool | None = None
 
 
-def pairwise_quad_iou_fused(c1, c2):
+def pairwise_quad_iou_fused(c1, c2, triangular: bool = False):
     """Pallas kernel with one-time probe + XLA fallback (see STATUS above).
 
     The probe must NOT run while tracing an outer jit (tracer inputs): an
@@ -270,16 +307,18 @@ def pairwise_quad_iou_fused(c1, c2):
     if use is None:
         use = jax.default_backend() == "tpu"
     if use and c1.shape[0] % 64 == 0 and c2.shape[0] % 128 == 0:
-        return pairwise_quad_iou_pallas(c1, c2)
+        return pairwise_quad_iou_pallas(c1, c2, triangular=triangular)
     from airv2x_tpu.ops.rotated_iou import pairwise_quad_iou
 
+    # XLA fallback computes the full matrix; a superset of the triangular
+    # contract, so callers that only read i < j are unaffected.
     return pairwise_quad_iou(c1, c2)
 
 
-def _call(c1, c2, grid, tile_i, tile_j, interpret):
+def _call(c1, c2, grid, tile_i, tile_j, interpret, triangular=False):
     n, m = c1.shape[0], c2.shape[0]
     return pl.pallas_call(
-        _iou_tile_kernel,
+        partial(_iou_tile_kernel, triangular=triangular),
         out_shape=jax.ShapeDtypeStruct((n, m), jnp.float32),
         grid=grid,
         in_specs=[

@@ -37,6 +37,23 @@ def test_kernel_semantics_match_xla(rng):
     np.testing.assert_allclose(np.diag(pal), 1.0, atol=1e-4)
 
 
+def test_triangular_mode_upper_triangle_exact(rng):
+    # NMS contract: with triangular=True every pair i < j matches the full
+    # kernel; fully-lower tiles may be zero-filled. Tile (64, 64) over a
+    # 256-candidate list exercises skipped, diagonal and mixed tiles.
+    qs = _quads(rng, 256)
+    full = np.asarray(pairwise_quad_iou_interpret(qs, qs, 64, 64))
+    tri = np.asarray(
+        pairwise_quad_iou_interpret(qs, qs, 64, 64, triangular=True)
+    )
+    iu = np.triu_indices(256, k=1)
+    # pl.when wrapping may reassociate fp slightly vs the unwrapped kernel
+    np.testing.assert_allclose(tri[iu], full[iu], atol=1e-5)
+    # tiles strictly below the block diagonal are zero-filled
+    r, c = np.indices(tri.shape)
+    assert np.all(tri[(r // 64) > (c // 64)] == 0)
+
+
 def test_fused_wrapper_falls_back(rng):
     # whatever the backend supports, the wrapper must return correct values
     qs = _quads(rng, 128)
