@@ -47,41 +47,58 @@ def decode_detections(
     top_k: int = 512,
 ) -> Detections:
     """Single-sample decode. psm (H, W, A*C), rm (H, W, 7A), obj (H, W, A);
-    anchors (H, W, A, 7)."""
+    anchors (H, W, A, 7).
+
+    Returns a fixed pool of ``P = min(2 * top_k, N)`` candidate rows, not all
+    N anchors: the P highest thresholded objectness scores are selected
+    FIRST, and box decode / corners / projection / validity run only on
+    those (decoding all 70k+ anchors cost ~1.5 ms/scene of the e2e budget,
+    doc/performance.md). Equivalent to the all-N decode unless more than
+    ``P - top_k`` of the top-P rows are degenerate (over-large / abnormal-z
+    boxes the reference also discards, voxel_postprocessor.py:765-800) —
+    the 2x pool absorbs them; verified by the reference-golden AP suite.
+    """
     h, w, a = obj.shape
+    n = h * w * a
 
     objness = jax.nn.sigmoid(obj.astype(jnp.float32)).reshape(-1)  # (N,)
     flat_anchors = anchors.reshape(-1, 7)
-
     deltas = rm.astype(jnp.float32).reshape(h, w, a, 7).reshape(-1, 7)
-    boxes = decode_boxes(deltas, flat_anchors)  # (N, 7)
+
+    p = min(2 * top_k, n)
+    neg_inf = jnp.asarray(-jnp.inf, objness.dtype)
+    gated = jnp.where(objness > obj_threshold, objness, neg_inf)
+    p_scores, p_idx = jax.lax.top_k(gated, p)
+    valid = p_scores > neg_inf
+    scores = jnp.where(valid, p_scores, 0.0)
+
+    boxes = decode_boxes(deltas[p_idx], flat_anchors[p_idx])  # (P, 7)
 
     # class: sigmoid over (A, C), background column dropped, argmax + 1;
     # binary heads (num_class <= 1, OPV2V point_pillar family) have no class
     # columns — every detection is the single foreground class
     if num_class > 1:
-        cls = jax.nn.sigmoid(psm.astype(jnp.float32).reshape(h, w, a, num_class))
-        cls = cls.reshape(-1, num_class)[:, 1:]
+        cls = jax.nn.sigmoid(
+            psm.astype(jnp.float32).reshape(-1, num_class)[p_idx, 1:]
+        )
         labels = jnp.argmax(cls, axis=-1).astype(jnp.int32) + 1
     else:
-        labels = jnp.ones(h * w * a, jnp.int32)
+        labels = jnp.ones(p, jnp.int32)
 
-    valid = objness > obj_threshold
-
-    corners = geo.boxes_to_corners_3d(boxes, order="hwl")  # (N, 8, 3)
+    corners = geo.boxes_to_corners_3d(boxes, order="hwl")  # (P, 8, 3)
     corners = geo.project_corners(corners, transformation_matrix)
 
     z_min, z_max = lidar_range[2], lidar_range[5]
     valid &= geo.keep_reasonable_boxes(corners, z_min=z_min, z_max=z_max)
 
     keep = rotated_nms(
-        corners[:, :4, :2], objness, valid, nms_thresh, top_k=top_k
+        corners[:, :4, :2], scores, valid, nms_thresh, top_k=top_k
     )
 
     keep &= geo.mask_boxes_in_range_bev(corners, lidar_range)
 
     return Detections(
-        boxes=boxes, corners=corners, scores=objness, labels=labels, mask=keep
+        boxes=boxes, corners=corners, scores=scores, labels=labels, mask=keep
     )
 
 

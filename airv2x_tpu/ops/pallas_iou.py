@@ -3,24 +3,30 @@
 The XLA implementation (ops.rotated_iou.pairwise_quad_iou) materializes
 every intermediate of the 24-candidate construction in HBM — ~10 GB of
 traffic for a 1024x1024 matrix (~76 ms on v5e). This kernel tiles the pair
-matrix into (TI, TJ) blocks and runs the whole pipeline — edge
-intersections, containment tests, centroid, angle sort (roll-based bitonic
-network, no gathers), shoelace — entirely in VMEM, so HBM sees only the two
-corner lists in and the IoU tile out.
+matrix into (TI, TJ) blocks and computes each pair's intersection area
+with a SORT-FREE edge-integral formulation (see ``_iou_tile_body``):
+every temporary is a plain (TI, TJ) 2-D f32 array, so the whole tile
+stays in VMEM with no candidate axis, no angular sort, and no rolls.
 
-Layout: all per-pair temporaries are (TI, K, TJ) with the j-pair axis on
-the 128-wide lane dimension and the candidate axis K on sublanes.
+History: the first kernel generation built the classic 24-candidate
+intersection polygon and ordered it with a roll-based bitonic network on
+a 32-wide sublane axis; the sort was ~90% of its runtime. The
+edge-integral rewrite is ~3.8x faster (0.96 ms vs 3.63 at 512x512
+triangular, 1.50 vs 6.53 at 1024x1024) and numerically tighter (max
+|err| vs the f64 reference ~2e-5 at 140 m BEV offsets, ~1e-6 near the
+origin; tests/test_pallas_iou.py verifies interpret mode at 2e-5).
 
-STATUS: compiles and runs on TPU v5e. Two Mosaic constraints shaped the
-kernel: (1) ANY i1 (boolean) intermediate in the composed kernel fails
-Mosaic legalization with "Unsupported target bitwidth for truncation"
-(arith.trunci) — so every predicate is float {0,1} arithmetic via
-``_ge0`` and selects are lerps; (2) the (TI, 32, TJ) f32 temporaries must
-fit scoped VMEM (16 MB) — tile (64, 128) fits, (128, 128) does not.
-Measured vs the XLA path on v5e: 4.35 ms vs 6.14 ms at 512x512,
-6.53 ms vs 13.06 ms at 1024x1024 (scan-timed). Numerics: mean |err|
-~3e-9, max ~4e-4 on boundary-touching pairs (tests/test_pallas_iou.py
-verifies interpret mode at 2e-5).
+Mosaic constraints that shaped this kernel (this toolchain):
+  * ANY i1 (boolean) intermediate in a composed kernel fails Mosaic
+    legalization with "Unsupported target bitwidth for truncation"
+    (arith.trunci) — every predicate is float {0,1} arithmetic via
+    ``_ge0`` and selects are lerps;
+  * strided in-kernel slices of a (T, 4, 2) ref (``ref[:, k, 0]``) and
+    direct (TI, 1) x (1, TJ) broadcast arithmetic both blow up the
+    register allocator into hundreds of MB of spill slots and OOM the
+    compiler at 128 MB VMEM — inputs therefore arrive pre-flattened as
+    (TI, 8) / (8, TJ) lane-contiguous strips and are explicitly
+    ``broadcast_to`` (TI, TJ) before any mixed arithmetic.
 """
 
 from __future__ import annotations
@@ -34,13 +40,13 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _EPS = 1e-8  # division guards
-# Inclusion tolerance for intersection/containment tests: must sit above
-# f32 rounding noise at BEV coordinate magnitudes (~100 m -> ~1e-5), or
-# corner-touching candidates drop out and degenerate the polygon.
+# Tolerance on cross-product terms (units length², scaled per pair by the
+# larger quad area in _iou_tile_body): classifies half-plane constraints
+# as entering/leaving/parallel and detects boundary-collinear pieces.
+# Coordinates are pair-centered before any cross product, so f32 rounding
+# stays well below this at every BEV range.
 _TOL = 1e-4
 _BIG = 1e9
-_NC = 24  # candidate count
-_NS = 32  # bitonic width
 
 
 def _ge0(x):
@@ -79,171 +85,117 @@ def _iou_tile_kernel(q1_ref, q2_ref, out_ref, *, triangular: bool = False):
 
 
 def _iou_tile_body(q1_ref, q2_ref, out_ref):
+    """Sort-free edge-integral intersection area (Green's theorem).
+
+    area(A ∩ B) = Σ over directed edges of A clipped to inside(B) of the
+    segment integral ½·cross(p, q)·Δt, plus the symmetric sum for B's
+    edges inside A. Along a segment p + t·(q − p) the integrand of
+    ½(x dy − y dx) is the CONSTANT ½·cross(p, q), so each piece is one
+    parametric clip of t ∈ [0, 1] against the other quad's 4 half-planes
+    — no intersection-vertex construction and no angular sort. Pieces
+    exactly collinear with a half-plane boundary get weight ½, which makes
+    both degenerate families exact: identical quads (same-direction
+    boundary counted once per polygon → ½ + ½ = 1) and side-by-side quads
+    sharing an edge (opposite-direction traversals cancel → 0).
+
+    Everything is (TI, TJ) 2-D f32 with unrolled 4×4 half-plane loops:
+    no middle axes, no rolls, no bitonic network — the sort of the old
+    24-candidate construction was ~90% of the kernel time. Coordinates
+    are centered per row pair at A's first corner so the cross terms are
+    local-scale (the num/den terms are translation-invariant differences);
+    without centering, f32 rounding at BEV ranges (~140 m) would swamp the
+    collinearity tolerance.
+    """
+    # Corner layout: rows arrive FLAT as (TI, 8) [x0 y0 x1 y1 ...] and cols
+    # as (8, TJ), so every in-kernel slice is a contiguous lane/sublane
+    # strip and every broadcast is a native lane/sublane replication.
+    # (Slicing a (T, 4, 2) ref at [:, k, 0] — a strided sublane gather —
+    # or multiplying (TI, 1) by (1, TJ) directly sends Mosaic's register
+    # allocator into hundreds of MB of spill slots; both OOM the compiler.)
     ti = q1_ref.shape[0]
-    tj = q2_ref.shape[0]
+    tj = q2_ref.shape[1]
 
-    # corner coordinates: i-side (TI, 4, 1), j-side (1, 4, TJ)
-    x1 = q1_ref[:, :, 0][:, :, None]  # (TI, 4, 1)
-    y1 = q1_ref[:, :, 1][:, :, None]
-    x2 = jnp.transpose(q2_ref[:, :, 0])[None, :, :]  # (1, 4, TJ)
-    y2 = jnp.transpose(q2_ref[:, :, 1])[None, :, :]
+    def bc(v):
+        return jnp.broadcast_to(v, (ti, tj))
 
-    def nxt(a, axis=1):
-        # jnp.roll(a, -1) equivalent; pltpu.roll requires shift >= 0
-        return pltpu.roll(a, a.shape[axis] - 1, axis)
+    x1 = [bc(q1_ref[:, 2 * k : 2 * k + 1]) for k in range(4)]
+    y1 = [bc(q1_ref[:, 2 * k + 1 : 2 * k + 2]) for k in range(4)]
+    x2 = [bc(q2_ref[2 * k : 2 * k + 1, :]) for k in range(4)]
+    y2 = [bc(q2_ref[2 * k + 1 : 2 * k + 2, :]) for k in range(4)]
 
-    # ---- 16 edge-edge intersections ----
-    ax, ay, bx, by = x1, y1, nxt(x1), nxt(y1)  # (TI, 4, 1)
-    cx, cy, dx, dy = x2, y2, nxt(x2), nxt(y2)  # (1, 4, TJ)
-    rx, ry = bx - ax, by - ay
-    sx, sy = dx - cx, dy - cy
+    # center every pair at A's first corner: num/den below are pure
+    # coordinate differences (translation-invariant), but the edge
+    # integrals ½·cross(p, q) are not — centered they stay local-scale
+    ox, oy = x1[0], y1[0]
+    xa = [v - ox for v in x1]
+    ya = [v - oy for v in y1]
+    xb = [v - ox for v in x2]
+    yb = [v - oy for v in y2]
 
-    # broadcast edge pairs to (TI, 4, 4, TJ): i-edge axis 1, j-edge axis 2
-    def bi(a):  # (TI, 4, 1) -> (TI, 4, 1, 1)
-        return a[:, :, None, :]
+    def signed_area(xs, ys):
+        s = None
+        for k in range(4):
+            kk = (k + 1) % 4
+            t = xs[k] * ys[kk] - xs[kk] * ys[k]
+            s = t if s is None else s + t
+        return 0.5 * s
 
-    def bj(a):  # (1, 4, TJ) -> (1, 1, 4, TJ)
-        return a[:, None, :, :]
+    sa = signed_area(xa, ya)  # (TI, TJ), constant along lanes
+    sb = signed_area(xb, yb)  # (TI, TJ)
+    sgn_a = jnp.sign(sa)
+    sgn_b = jnp.sign(sb)
+    aa = jnp.abs(sa)
+    ab = jnp.abs(sb)
+    # tolerance on cross-product terms (units: length²), scaled to the pair
+    tol2 = _TOL * (jnp.maximum(aa, ab) + 1.0)
 
-    denom = bi(rx) * bj(sy) - bi(ry) * bj(sx)  # (TI, 4, 4, TJ)
-    qpx = bj(cx) - bi(ax)
-    qpy = bj(cy) - bi(ay)
-    t_num = qpx * bj(sy) - qpy * bj(sx)
-    u_num = qpx * bi(ry) - qpy * bi(rx)
-    nz = _ge0(jnp.abs(denom) - _EPS)  # float: |denom| > eps
-    safe = denom + (1.0 - nz)  # nz==0 -> denom==~0 -> use 1.0
-    t = t_num / safe
-    u = u_num / safe
-    iok_f = (
-        nz
-        * _ge0(t + _TOL) * _ge0(1.0 + _TOL - t)
-        * _ge0(u + _TOL) * _ge0(1.0 + _TOL - u)
+    def pieces(xs_p, ys_p, xs_h, ys_h, sgn_h):
+        """Σ over edges of polygon P of ½·cross·Δt·w clipped to inside H.
+
+        xs_p/ys_p: P's 4 corners; xs_h/ys_h: H's 4 corners; sgn_h: H's
+        orientation sign. All centered; every term broadcasts to (TI, TJ).
+        """
+        total = None
+        for e in range(4):
+            px, py = xs_p[e], ys_p[e]
+            qx, qy = xs_p[(e + 1) % 4], ys_p[(e + 1) % 4]
+            dx, dy = qx - px, qy - py
+            cross_e = px * qy - py * qx
+            tlo = thi = emp = coll = None
+            for k in range(4):
+                b0x, b0y = xs_h[k], ys_h[k]
+                ex = xs_h[(k + 1) % 4] - b0x
+                ey = ys_h[(k + 1) % 4] - b0y
+                num = sgn_h * (ex * (py - b0y) - ey * (px - b0x))
+                den = sgn_h * (ex * dy - ey * dx)
+                gt = _ge0(den - tol2)  # den > tol2: entering constraint
+                lt = _ge0(-den - tol2)  # den < -tol2: leaving constraint
+                mid = (1.0 - gt) * (1.0 - lt)  # |den| <= tol2: parallel
+                tb = -num / (den + mid)  # mid -> denominator ~1, unused
+                tlo_k = gt * tb + (1.0 - gt) * (-_BIG)
+                thi_k = lt * tb + (1.0 - lt) * _BIG
+                emp_k = mid * _ge0(-num - tol2)  # parallel & outside
+                coll_k = mid * _ge0(tol2 - jnp.abs(num))  # on the boundary
+                if tlo is None:
+                    tlo, thi, emp, coll = tlo_k, thi_k, emp_k, coll_k
+                else:
+                    tlo = jnp.maximum(tlo, tlo_k)
+                    thi = jnp.minimum(thi, thi_k)
+                    emp = jnp.maximum(emp, emp_k)
+                    coll = jnp.maximum(coll, coll_k)
+            t0 = jnp.maximum(tlo, 0.0)
+            t1 = jnp.minimum(thi, 1.0)
+            dt = jnp.maximum(t1 - t0, 0.0) * (1.0 - emp)
+            w = 1.0 - 0.5 * coll
+            contrib = cross_e * (dt * w)
+            total = contrib if total is None else total + contrib
+        return total
+
+    inter = 0.5 * jnp.abs(
+        pieces(xa, ya, xb, yb, sgn_b) * sgn_a
+        + pieces(xb, yb, xa, ya, sgn_a) * sgn_b
     )
-    ix = bi(ax) + t * bi(rx)
-    iy = bi(ay) + t * bi(ry)
-
-    ix = ix.reshape(ti, 16, tj)
-    iy = iy.reshape(ti, 16, tj)
-    iok_f = iok_f.reshape(ti, 16, tj)
-
-    # ---- corner containment ----
-    def inside(px, py, qx, qy):
-        # point (TI, P, TJ) in convex quad (corner arrays broadcast to
-        # (TI?, 4, TJ?)); cross sign against all 4 edges consistent.
-        ex, ey = nxt(qx) - qx, nxt(qy) - qy  # quad edges
-        relx = px[:, :, None, :] - qx[:, None, :, :]
-        rely = py[:, :, None, :] - qy[:, None, :, :]
-        cr = ex[:, None, :, :] * rely - ey[:, None, :, :] * relx
-        # unrolled 4-way min: Mosaic rejects middle-axis reductions of 4D
-        ge = le = None
-        for kk in range(4):
-            g = _ge0(cr[:, :, kk, :] + _TOL * 100.0)
-            l_ = _ge0(_TOL * 100.0 - cr[:, :, kk, :])
-            ge = g if ge is None else jnp.minimum(ge, g)
-            le = l_ if le is None else jnp.minimum(le, l_)
-        return jnp.maximum(ge, le)  # float 0/1 mask
-
-    # q1 corners in q2: points (TI, 4, 1) vs quad (1, 4, TJ)
-    in12 = inside(
-        jnp.broadcast_to(x1, (ti, 4, 1)),
-        jnp.broadcast_to(y1, (ti, 4, 1)),
-        jnp.broadcast_to(x2, (1, 4, tj)),
-        jnp.broadcast_to(y2, (1, 4, tj)),
-    )  # (TI, 4, TJ)
-    in21 = inside(
-        jnp.broadcast_to(x2, (1, 4, tj)),
-        jnp.broadcast_to(y2, (1, 4, tj)),
-        jnp.broadcast_to(x1, (ti, 4, 1)),
-        jnp.broadcast_to(y1, (ti, 4, 1)),
-    )
-    in21 = jnp.broadcast_to(in21, (ti, 4, tj))  # float masks
-    in12 = jnp.broadcast_to(in12, (ti, 4, tj))
-
-    cx1 = jnp.broadcast_to(x1, (ti, 4, tj))
-    cy1 = jnp.broadcast_to(y1, (ti, 4, tj))
-    cx2 = jnp.broadcast_to(x2, (ti, 4, tj))
-    cy2 = jnp.broadcast_to(y2, (ti, 4, tj))
-
-    # assemble all candidates directly at the padded width of 32 sublanes
-    # (24-sublane intermediates trip Mosaic's layout legalization)
-    zpad = jnp.zeros((ti, _NS - _NC, tj), ix.dtype)
-    candx = jnp.concatenate([ix, cx1, cx2, zpad], axis=1)  # (TI, 32, TJ)
-    candy = jnp.concatenate([iy, cy1, cy2, zpad], axis=1)
-    valid_f = jnp.concatenate([iok_f, in12, in21, zpad], axis=1)
-
-    nvalid = jnp.sum(valid_f, axis=1)  # (TI, TJ)
-    denomv = jnp.maximum(nvalid, 1.0)[:, None, :]
-    mx = jnp.sum(valid_f * candx, axis=1, keepdims=True) / denomv
-    my = jnp.sum(valid_f * candy, axis=1, keepdims=True) / denomv
-    relx = valid_f * (candx - mx)
-    rely = valid_f * (candy - my)
-    # diamond pseudo-angle: monotonic in atan2 (which Pallas does not lower),
-    # mapping the circle to [-2, 2) — the sort only needs the ordering.
-    r = rely / (jnp.abs(relx) + jnp.abs(rely) + _EPS)
-    mposx = _ge0(relx)
-    mposy = _ge0(rely)
-    pseudo = mposx * r + (1.0 - mposx) * (
-        mposy * (2.0 - r) + (1.0 - mposy) * (-2.0 - r)
-    )
-    ang = valid_f * pseudo + (1.0 - valid_f) * _BIG
-
-    # ---- bitonic sort by angle (flip-based partner exchange on axis 1) ----
-    lane_f = jax.lax.broadcasted_iota(jnp.int32, (1, _NS, 1), 1).astype(
-        jnp.float32
-    )
-
-    def bit_clear_f(m):
-        # float {0,1}: 1 where the bit of weight m is clear in the lane id
-        return 1.0 - jnp.mod(jnp.floor(lane_f / m), 2.0)
-
-    k = 2
-    while k <= _NS:
-        j = k // 2
-        while j >= 1:
-            # partner value a[i XOR j]: lanes with bit j clear read i+j
-            # (roll left by j), lanes with bit j set read i-j (roll right) —
-            # no wraparound crosses a 2j block, so global rolls are exact.
-            bc = bit_clear_f(j)
-
-            def swap(a, bc=bc, j=j):
-                left = pltpu.roll(a, _NS - j, 1)  # a[(i + j) % NS]
-                right = pltpu.roll(a, j, 1)  # a[(i - j) % NS]
-                return bc * left + (1.0 - bc) * right
-
-            kp = swap(ang)
-            px = swap(relx)
-            py = swap(rely)
-            kbc = bit_clear_f(k)
-            tm = bc * kbc + (1.0 - bc) * (1.0 - kbc)  # ascending lanes
-            le = _ge0(kp - ang)  # ang <= kp
-            # take own value: ascending lanes when ang <= kp, descending
-            # lanes when ang >= kp (ties keep self, matching the bool kernel)
-            ts = tm * le + (1.0 - tm) * _ge0(ang - kp)
-            ang = tm * jnp.minimum(ang, kp) + (1.0 - tm) * jnp.maximum(ang, kp)
-            relx = ts * relx + (1.0 - ts) * px
-            rely = ts * rely + (1.0 - ts) * py
-            j //= 2
-        k *= 2
-
-    # replace invalid tail with the first (lowest-angle) vertex
-    vsf = _ge0(_BIG / 2 - ang)
-    fx = relx[:, 0:1, :]
-    fy = rely[:, 0:1, :]
-    relx = vsf * relx + (1.0 - vsf) * fx
-    rely = vsf * rely + (1.0 - vsf) * fy
-
-    # shoelace with wraparound
-    nx_ = pltpu.roll(relx, _NS - 1, 1)
-    ny_ = pltpu.roll(rely, _NS - 1, 1)
-    inter = 0.5 * jnp.abs(jnp.sum(relx * ny_ - nx_ * rely, axis=1))
-    inter = inter * _ge0(nvalid - 2.5)  # >= 3 vertices
-
-    # quad areas via shoelace of the raw corners
-    a1 = 0.5 * jnp.abs(
-        jnp.sum(x1 * nxt(y1) - nxt(x1) * y1, axis=1)
-    )  # (TI, 1)
-    a2 = 0.5 * jnp.abs(jnp.sum(x2 * nxt(y2) - nxt(x2) * y2, axis=1))  # (1, TJ)
-    union = a1 + a2 - inter
+    union = aa + ab - inter
     out_ref[:, :] = inter / jnp.maximum(union, _EPS)
 
 
@@ -317,20 +269,24 @@ def pairwise_quad_iou_fused(c1, c2, triangular: bool = False):
 
 def _call(c1, c2, grid, tile_i, tile_j, interpret, triangular=False):
     n, m = c1.shape[0], c2.shape[0]
+    # flatten corners OUTSIDE the kernel: rows (N, 8), cols (8, M) — see the
+    # layout note in _iou_tile_body (in-kernel strided slices OOM Mosaic)
+    c1f = c1.astype(jnp.float32).reshape(n, 8)
+    c2f = c2.astype(jnp.float32).reshape(m, 8).T
     return pl.pallas_call(
         partial(_iou_tile_kernel, triangular=triangular),
         out_shape=jax.ShapeDtypeStruct((n, m), jnp.float32),
         grid=grid,
         in_specs=[
             pl.BlockSpec(
-                (tile_i, 4, 2), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM
+                (tile_i, 8), lambda i, j: (i, 0), memory_space=pltpu.VMEM
             ),
             pl.BlockSpec(
-                (tile_j, 4, 2), lambda i, j: (j, 0, 0), memory_space=pltpu.VMEM
+                (8, tile_j), lambda i, j: (0, j), memory_space=pltpu.VMEM
             ),
         ],
         out_specs=pl.BlockSpec(
             (tile_i, tile_j), lambda i, j: (i, j), memory_space=pltpu.VMEM
         ),
         interpret=interpret,
-    )(c1.astype(jnp.float32), c2.astype(jnp.float32))
+    )(c1f, c2f)
