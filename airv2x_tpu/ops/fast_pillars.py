@@ -315,12 +315,17 @@ class FastPillarBEV(nn.Module):
         """Classic two-scatter path (training needs per-point BN batch
         statistics over the full augmented features, which the fused eval
         decomposition does not produce)."""
+        import os
+
+        barrier = os.environ.get("AIRV2X_ENC_BARRIER") == "scatter"
         w = valid.astype(jnp.float32)
         # per-cell mean via one fused scatter-add of [1, x, y, z]
         ones_xyz = jnp.concatenate(
             [w[:, None], pts[:, :3].astype(jnp.float32) * w[:, None]], axis=1
         )
         cell_sums = jnp.zeros((m * cells, 4), jnp.float32).at[gids].add(ones_xyz)
+        if barrier:
+            cell_sums = jax.lax.optimization_barrier(cell_sums)
         mean = cell_sums[:, 1:] / jnp.maximum(cell_sums[:, :1], 1.0)
         f_cluster = pts[:, :3] - mean[gids].astype(self.dtype)
 
