@@ -1,10 +1,14 @@
 """V2X-R 4D-radar models: RTNH and LiDAR+radar fusion variants.
 
-RTNH (twin of models/RTNH_intermediate.py + RTNH_modules/rdr_sp_pw.py):
-the reference encodes radar voxels with spconv SparseConv3d stacks; the
-radar z extent is shallow (10 cells at 0.4 m over [-3, 1] m), so the
-TPU-native design voxelizes to a DENSE (Z, Y, X, C) grid and runs dense 3D
-convolutions — MXU-friendly and jit-static (SURVEY.md §2.1 N9 mapping).
+RTNH (faithful twin of models/RTNH_intermediate.py + RTNH_modules/
+rdr_sp_pw.py + rdr_sparse_processor.py + rdr_spcube_head.py:368-401):
+the reference encodes radar voxels with spconv SparseConv3d/SubMConv3d
+stacks; the TPU-native equivalent runs the SAME math as dense masked
+convolutions over the shallow radar grid (z=10 x 200 x 704 at 0.4 m) —
+see models/sparse3d.py for the exact spconv-semantics mapping
+(submanifold = SAME conv x input mask; strided sparse = conv x dilated
+mask; BN over active sites). Weight-for-weight convertible from
+``rdr_sp_pw`` checkpoints (utils/torch_convert.convert_rtnh).
 
 point_pillar_l4dr / point_pillar_intermediate_lrf (twins of
 models/point_pillar_L4DR.py / point_pillar_*_lrf.py): LiDAR and 4D-radar
@@ -22,7 +26,6 @@ import jax.numpy as jnp
 import jax
 
 from airv2x_tpu.models.fusion.common import ego_agent_attention
-from airv2x_tpu.models.nn import BN_EPS, BN_MOMENTUM
 from airv2x_tpu.models.pillar_vfe import PillarVFE
 from airv2x_tpu.models.point_pillar_models import (
     PointPillarBase,
@@ -36,109 +39,119 @@ from airv2x_tpu.ops.scatter import (
 from airv2x_tpu.ops.voxelize import pillarize_batch
 
 
-class _Conv3DBN(nn.Module):
-    features: int
-    stride: tuple = (1, 1, 1)
-    kernel: tuple = (3, 3, 3)
-    dtype: Any = jnp.float32
+@register_model("RTNH_intermediate", "rtnh_intermediate")
+class RTNHIntermediate(nn.Module):
+    """Faithful RTNH twin (models/RTNH_intermediate.py:9-56).
 
-    @nn.compact
-    def __call__(self, x, train: bool = False):
-        x = nn.Conv(
-            self.features, self.kernel, strides=self.stride, padding="SAME",
-            use_bias=False, dtype=self.dtype,
-        )(x)
-        x = nn.BatchNorm(use_running_average=not train, momentum=BN_MOMENTUM,
-                         epsilon=BN_EPS, dtype=self.dtype)(x)
-        return nn.relu(x)
+    Pipeline (reference file:line):
+      * RadarSparseProcessor (rdr_sparse_processor.py:12-64): voxelize the
+        radar cloud at ``voxel_size`` over ``cav_lidar_range`` with <= 4
+        points/voxel, a bias-free Linear(input_dim -> 64) per point and a
+        max over the point slots INCLUDING the zero padding rows (the
+        reference's PointToVoxel zero-fills; linear(0) = 0 floors each
+        channel of non-full voxels).
+      * RadarSparseBackbone (rdr_sp_pw.py:17-226) with exact spconv
+        semantics via masked dense convs (models/sparse3d.py) and the
+        param-free AttFusion agent fusion per BEV level
+        (common_modules/self_attn.py:47-67 == ego_agent_attention).
+      * RdrSpcubeHead forward (rdr_spcube_head.py:388-401): two 1x1 convs,
+        cls -> anchor_num, reg -> 7 * anchor_num. (The head's internal
+        anchor generator/loss is dead code under the V2XR_RTNH.yaml wiring,
+        which uses point_pillar_loss + VoxelPostprocessor.)
 
-
-class RadarDenseBackbone(nn.Module):
-    """Dense-3D-conv stand-in for the spconv encoder (rdr_sp_pw.py:17-120).
-
-    Per encoder level: strided 3x3x3 conv + a refining conv (the reference's
-    SparseConv3d + SubMConv3d pair), z collapsed into channels per level and
-    upsampled back to a common BEV resolution.
+    Deviations (documented): the voxel-list capacity is the config's
+    ``max_voxel_train`` (static slots) instead of PointToVoxel's 25%-of-
+    grid cap, and indice_key reuse is resolved per-conv (sparse3d.py note).
     """
 
-    channels: tuple = (32, 64, 128)
+    args: dict
     dtype: Any = jnp.float32
 
-    @nn.compact
-    def __call__(self, x, train: bool = False):
-        # x: (B, Z, Y, X, C)
-        outs = []
-        h_ref = x.shape[2]
-        for i, ch in enumerate(self.channels):
-            stride = (1, 1, 1) if i == 0 else (2, 2, 2)
-            x = _Conv3DBN(ch, stride=stride, dtype=self.dtype)(x, train)
-            x = _Conv3DBN(ch, dtype=self.dtype)(x, train)
-            # collapse z into channels -> BEV map per level
-            b, z, yy, xx, c = x.shape
-            bev = x.transpose(0, 2, 3, 1, 4).reshape(b, yy, xx, z * c)
-            bev = nn.Conv(ch, (1, 1), dtype=self.dtype)(bev)
-            if yy != h_ref:
-                import jax
+    def setup(self):
+        from airv2x_tpu.models.sparse3d import RadarSparseBackbone
 
-                bev = jax.image.resize(
-                    bev, (b, h_ref, bev.shape[2] * (h_ref // yy), ch), "bilinear"
-                )
-            outs.append(bev)
-        return jnp.concatenate(outs, axis=-1)
-
-
-@register_model("RTNH_intermediate", "rtnh_intermediate")
-class RTNHIntermediate(PointPillarBase):
-    """Radar dense-voxel backbone + attention collaboration."""
-
-    _force_classic_vfe = True  # needs per-voxel features on the 3D grid
-
-    def setup_fusion(self):
-        rcfg = self.args.get("rtnh", {})
-        self.radar_backbone = RadarDenseBackbone(
-            channels=tuple(rcfg.get("channels", (32, 64, 128))), dtype=self.dtype
+        self.pre = self.args["preprocess"]
+        bb = dict(self.args.get("BACKBONE") or {})
+        enc = dict(bb.get("ENCODING") or {})
+        bev = dict(bb.get("TO_BEV") or {})
+        lr = self.pre["cav_lidar_range"]
+        vs = self.pre["args"]["voxel_size"]
+        self.grid = tuple(
+            int(round((lr[3 + i] - lr[i]) / vs[i])) for i in range(3)
+        )
+        self.pointnet = nn.Dense(
+            int(self.args.get("PRE_PROCESSOR", {}).get("OUT_DIM", 64)),
+            use_bias=False, dtype=self.dtype, name="simplified_pointnet",
+        )
+        self.backbone = RadarSparseBackbone(
+            enc_channels=tuple(enc.get("CHANNEL", (64, 128, 256))),
+            enc_strides=tuple(enc.get("STRIDE", (2, 2, 2))),
+            enc_paddings=tuple(enc.get("PADDING", (1, 1, 1))),
+            bev_channels=tuple(bev.get("CHANNEL", (256, 256, 256))),
+            bev_kernels=tuple(bev.get("KERNEL_SIZE", (3, 6, 12))),
+            bev_strides=tuple(bev.get("STRIDE", (1, 2, 4))),
+            bev_paddings=tuple(bev.get("PADDING", (1, 2, 4))),
+            z_shape=self.grid[2],
+            dtype=self.dtype,
+            name="backbone",
+        )
+        anchor_num = int(
+            self.args.get("anchor_num", self.args.get("anchor_number", 2))
+        )
+        self.conv_cls = nn.Conv(
+            anchor_num, (1, 1), dtype=self.dtype, name="conv_cls"
+        )
+        self.conv_reg = nn.Conv(
+            7 * anchor_num, (1, 1), dtype=self.dtype, name="conv_reg"
         )
 
-    def encode(self, batch, train):
+    def __call__(self, batch, train: bool = False):
         pre = self.pre
-        lidar_range = pre["cav_lidar_range"]
-        voxel_size = pre["args"]["voxel_size"]
-        grid = tuple(
-            int(round((lidar_range[3 + i] - lidar_range[i]) / voxel_size[i]))
-            for i in range(3)
-        )
-        pts = batch["points"]
+        lr = pre["cav_lidar_range"]
+        vs = pre["args"]["voxel_size"]
+        pts = batch.get("radar_points", batch["points"])
+        mask = batch.get("radar_points_mask", batch["points_mask"])
         b, l = pts.shape[:2]
         flat_pts = pts.reshape((b * l,) + pts.shape[2:])
-        flat_mask = batch["points_mask"].reshape((b * l,) + pts.shape[2:3])
+        flat_mask = mask.reshape((b * l,) + pts.shape[2:3])
         pil = pillarize_batch(
             flat_pts,
             flat_mask,
-            lidar_range=jnp.asarray(lidar_range, jnp.float32),
-            voxel_size=jnp.asarray(voxel_size, jnp.float32),
-            grid_size=grid,
+            lidar_range=jnp.asarray(lr, jnp.float32),
+            voxel_size=jnp.asarray(vs, jnp.float32),
+            grid_size=self.grid,
             max_pillars=int(pre["args"].get("max_voxel_train", 16000)),
-            max_points_per_pillar=int(pre["args"].get("max_points_per_voxel", 8)),
+            max_points_per_pillar=4,  # PointToVoxel cap (processor :35)
         )
-        vf = self.vfe(pil.voxels, pil.num_points, pil.coords, pil.mask, train)
-        dense = scatter_voxels_to_grid_batch(
-            vf, pil.coords, pil.mask, nz=grid[2], ny=grid[1], nx=grid[0]
-        )  # (B*L, Z, Y, X, C)
-        bev = self.radar_backbone(dense, train)
-        bev = bev.reshape((b, l) + bev.shape[1:])
-        return bev * batch["agent_mask"][:, :, None, None, None].astype(bev.dtype)
+        # simplified_pointnet: linear then max over point slots; padded
+        # slots contribute linear(0) = 0 exactly as the reference's
+        # zero-filled voxels (rdr_sparse_processor.py:44-47)
+        slot = jnp.arange(pil.voxels.shape[-2])
+        live = slot[None, None, :] < pil.num_points[..., None]
+        vox = jnp.where(live[..., None], pil.voxels.astype(self.dtype), 0.0)
+        vf = jnp.max(self.pointnet(vox), axis=-2)
+        vf = vf * pil.mask[..., None].astype(vf.dtype)
 
-    def __call__(self, batch, train: bool = False):
-        x = self.encode(batch, train)  # already multi-scale BEV features
-        b, l = x.shape[:2]
-        flat = x.reshape((b * l,) + x.shape[2:])
-        if self.shrink_flag:
-            flat = self.shrink_conv(flat, train)
-        grouped = flat.reshape((b, l) + flat.shape[1:])
-        fused = ego_agent_attention(grouped, batch["agent_mask"])
+        dense = scatter_voxels_to_grid_batch(
+            vf, pil.coords, pil.mask,
+            nz=self.grid[2], ny=self.grid[1], nx=self.grid[0],
+        )  # (B*L, Z, Y, X, C)
+        occ = scatter_voxels_to_grid_batch(
+            jnp.ones(pil.mask.shape + (1,), jnp.float32), pil.coords,
+            pil.mask, nz=self.grid[2], ny=self.grid[1], nx=self.grid[0],
+        )[..., 0] > 0
+        am = batch["agent_mask"]
+        occ = occ & am.reshape(b * l)[:, None, None, None]
+
+        def fuse_fn(flat):
+            return ego_agent_attention(
+                flat.reshape((b, l) + flat.shape[1:]), am
+            )
+
+        bev = self.backbone(dense, occ, fuse_fn, train)
         return {
-            "psm": self.cls_head(fused),
-            "rm": self.reg_head(fused),
+            "psm": self.conv_cls(bev),
+            "rm": self.conv_reg(bev),
             "comm_rate": jnp.asarray(1.0),
         }
 

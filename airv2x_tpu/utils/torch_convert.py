@@ -1779,7 +1779,57 @@ def convert_point_pillar_scope(sd: dict, variables: dict,
     return asg
 
 
+def convert_rtnh(sd: dict, variables: dict, hypes: dict) -> Assigner:
+    """RTNH_intermediate (models/RTNH_intermediate.py:9-56): pre_processor
+    simplified_pointnet, the RadarSparseBackbone spconv/BN/deconv stack
+    (RTNH_modules/rdr_sp_pw.py:46-172 — AttFusion is param-free), and the
+    RdrSpcubeHead 1x1 heads (rdr_spcube_head.py:368-376)."""
+    ts = TorchState(strip_module_prefix(sd))
+    asg = Assigner(variables)
+    convert_linear(
+        ts.sub("pre_processor"), asg, ("simplified_pointnet",),
+        scope="simplified_pointnet",
+    )
+    bb = ts.sub("backbone")
+    args = hypes["model"]["args"]
+    enc_ch = list(
+        (args.get("BACKBONE") or {}).get("ENCODING", {}).get(
+            "CHANNEL", [64, 128, 256]
+        )
+    )
+
+    def sconv(scope, name):
+        convert_conv(bb.sub(scope), asg, ("backbone", name, "Conv_0"))
+
+    def sbn(scope, name):
+        convert_bn(
+            bb.sub(scope), asg, ("backbone", name, "MaskedBatchNorm_0")
+        )
+
+    sconv("input_conv", "input_conv")
+    for i in range(len(enc_ch)):
+        sconv(f"spconv{i}", f"spconv{i}")
+        sbn(f"bn{i}", f"bn{i}")
+        sconv(f"subm{i}a", f"subm{i}a")
+        sbn(f"bn{i}a", f"bn{i}a")
+        sconv(f"subm{i}b", f"subm{i}b")
+        sbn(f"bn{i}b", f"bn{i}b")
+        sconv(f"toBEV{i}", f"toBEV{i}")
+        sbn(f"bnBEV{i}", f"bnBEV{i}")
+        convert_deconv(
+            bb.sub(f"convtrans2d{i}"), asg,
+            ("backbone", f"convtrans2d{i}", "Conv_0"),
+        )
+        convert_bn(bb.sub(f"bnt{i}"), asg, ("backbone", f"bnt{i}"))
+    convert_conv(ts.sub("head"), asg, ("conv_cls",), scope="conv_cls")
+    convert_conv(ts.sub("head"), asg, ("conv_reg",), scope="conv_reg")
+    asg.torch_leftovers = ts.leftovers()
+    return asg
+
+
 CONVERTERS: dict[str, Callable[[dict, dict, dict], Assigner]] = {
+    "RTNH_intermediate": convert_rtnh,
+    "rtnh_intermediate": convert_rtnh,
     "airv2x_where2comm": convert_airv2x_where2comm,
     "airv2x_where2com": convert_airv2x_where2comm,
     "airv2x_when2com": convert_airv2x_when2com,

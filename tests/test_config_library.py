@@ -37,7 +37,10 @@ def _build_batch(hypes, layout):
     consumes; shapes only matter for tracing."""
     rng = np.random.default_rng(0)
     core = hypes["model"]["core_method"].lower()
-    needs_radar = any(k in core for k in ("l4dr", "lrf", "interf", "mdd"))
+    needs_radar = (
+        any(k in core for k in ("l4dr", "lrf", "interf", "mdd", "rtnh"))
+        or "processed_radar" in str(hypes["model"]["args"])
+    )
     batch, _ = make_batch(
         rng,
         layout,

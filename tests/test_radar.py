@@ -6,23 +6,44 @@ from airv2x_tpu.models import build_model
 from tests.test_point_pillar_family import _batch, _hypes
 
 
-def test_rtnh_forward():
-    hypes = _hypes("RTNH_intermediate", {"rtnh": {"channels": [8, 16]}})
-    # shallow z grid for the dense 3D convs
+def _rtnh_hypes():
+    hypes = _hypes(
+        "RTNH_intermediate",
+        {
+            "anchor_num": 2,
+            "BACKBONE": {
+                "ENCODING": {"CHANNEL": [8, 16], "STRIDE": [2, 2],
+                             "PADDING": [1, 1]},
+                "TO_BEV": {"IS_Z_EMBED": False, "CHANNEL": [16, 16],
+                           "KERNEL_SIZE": [3, 6], "STRIDE": [1, 2],
+                           "PADDING": [1, 2]},
+            },
+            "PRE_PROCESSOR": {"OUT_DIM": 24},
+        },
+    )
+    # shallow z grid (8 cells) like the reference's 10-cell radar cube
     hypes["preprocess"]["args"]["voxel_size"] = [0.4, 0.4, 0.5]
-    hypes["model"]["args"]["shrink_header"] = {
-        "use": True, "input_dim": 24, "dim": [32], "kernal_size": [1],
-        "stride": [1], "padding": [0],
-    }
+    return hypes
+
+
+def test_rtnh_forward():
+    hypes = _rtnh_hypes()
     model = build_model(hypes)
     rng = np.random.default_rng(0)
     batch = _batch(rng)
+    radar = rng.uniform(-12, 12, (1, 3, 256, 4)).astype(np.float32)
+    radar[..., 2] = rng.uniform(-2, 0, (1, 3, 256))
+    batch["radar_points"] = jnp.asarray(radar)
+    batch["radar_points_mask"] = jnp.ones((1, 3, 256), bool)
     variables = jax.jit(lambda r, b: model.init(r, b, train=False))(
         {"params": jax.random.PRNGKey(0), "comm": jax.random.PRNGKey(1)}, batch
     )
     out = jax.jit(lambda v, b: model.apply(v, b, train=False))(variables, batch)
-    assert out["psm"].shape == (1, 64, 64, 2)
+    # BEV levels all deconv back to (ny/2, nx/2) = (32, 32)
+    assert out["psm"].shape == (1, 32, 32, 2)
+    assert out["rm"].shape == (1, 32, 32, 14)
     assert np.isfinite(np.asarray(out["psm"])).all()
+    assert np.isfinite(np.asarray(out["rm"])).all()
 
 
 def test_l4dr_forward():
