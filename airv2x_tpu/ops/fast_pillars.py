@@ -37,11 +37,36 @@ which reintroduces the gather (those configs fall back to the classic path).
 
 from __future__ import annotations
 
+import os
 from typing import Any, Sequence
 
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+
+
+def _pillar_kernel_mode(cells: int, out_c: int) -> str:
+    """Pick the eval-path reduction backend.
+
+    ``AIRV2X_PILLAR_KERNEL``: ``auto`` (default — the fused Pallas kernel on
+    TPU when the grid fits its VMEM-resident accumulator and the feature
+    width fits its 64 max lanes, XLA otherwise), ``pallas`` (force; runs in
+    interpret mode off-TPU — for tests), ``xla`` (force the two-op path).
+    """
+    from airv2x_tpu.ops.pallas_pillars import FEAT, supports_pallas_reduce
+
+    mode = os.environ.get("AIRV2X_PILLAR_KERNEL", "auto")
+    fits = supports_pallas_reduce(cells) and out_c <= FEAT
+    if mode == "pallas":
+        if not fits:
+            raise ValueError(
+                f"AIRV2X_PILLAR_KERNEL=pallas but grid ({cells} cells, "
+                f"{out_c} features) exceeds the kernel limits"
+            )
+        return "interpret" if jax.default_backend() != "tpu" else "pallas"
+    if mode == "auto" and fits and jax.default_backend() == "tpu":
+        return "pallas"
+    return "xla"
 
 
 def cell_mean_sums(resid, iy, ix, w, ny, nx, dtype, chunk=2048):
@@ -240,25 +265,60 @@ class FastPillarBEV(nn.Module):
         else:
             flip = jnp.ones((out_c,), self.dtype)
 
-        uf = jnp.where(valid[:, None], u * flip, neg)
-        smax = jnp.full((m * cells, out_c), neg, self.dtype).at[gids].max(uf)
-
-        # per-cell means from MXU bilinear sums over cell-center residuals
-        # (grid constants, NOT the offset constants: the residual range
-        # must be bounded by the grid voxel for bf16 accuracy)
+        # per-cell means need cell-center residuals (grid constants, NOT the
+        # offset constants: the residual range must be bounded by the grid
+        # voxel for bf16 accuracy)
         gx = ((ids % nx).astype(self.dtype) + 0.5) * vs[0] + lr[0]
         gy = ((ids // nx).astype(self.dtype) + 0.5) * vs[1] + lr[1]
         gz = jnp.full_like(gx, vs[2] / 2 + lr[2])
         resid = jnp.stack(
             [pts[:, 0] - gx, pts[:, 1] - gy, pts[:, 2] - gz], axis=-1
-        ).reshape(m, n, 3)
-        sums = cell_mean_sums(
-            resid,
-            (ids // nx).reshape(m, n),
-            (ids % nx).reshape(m, n),
-            w.reshape(m, n),
-            ny, nx, self.dtype,
-        )  # (m, ny, nx, 4) f32
+        )
+
+        mode = _pillar_kernel_mode(cells, out_c)
+        if mode == "xla":
+            uf = jnp.where(valid[:, None], u * flip, neg)
+            smax = jnp.full((m * cells, out_c), neg, self.dtype).at[gids].max(uf)
+            # MXU bilinear one-hot matmuls for the cell sums
+            sums = cell_mean_sums(
+                resid.reshape(m, n, 3),
+                (ids // nx).reshape(m, n),
+                (ids % nx).reshape(m, n),
+                w.reshape(m, n),
+                ny, nx, self.dtype,
+            )  # (m, ny, nx, 4) f32
+        else:
+            # ONE fused Pallas pass: feature scatter-max + count/residual
+            # scatter-add ride the same VMEM row RMW (ops/pallas_pillars.py)
+            from airv2x_tpu.ops.pallas_pillars import (
+                FEAT, LANES, NEG, fused_pillar_reduce,
+            )
+
+            ids_k = jnp.where(valid, ids, cells).reshape(m, n)
+            uf = jnp.where(
+                valid[:, None], (u * flip).astype(jnp.float32), NEG
+            )
+            lanes = [uf]
+            if out_c < FEAT:
+                lanes.append(
+                    jnp.full((m * n, FEAT - out_c), NEG, jnp.float32)
+                )
+            lanes += [
+                w[:, None],
+                resid.reshape(m * n, 3).astype(jnp.float32) * w[:, None],
+                jnp.zeros((m * n, LANES - FEAT - 4), jnp.float32),
+            ]
+            red = fused_pillar_reduce(
+                ids_k.astype(jnp.int32),
+                jnp.concatenate(lanes, axis=-1).reshape(m, n, LANES),
+                cells=cells,
+                interpret=(mode == "interpret"),
+            )  # (m, cells + 8, 128); rows [cells:] are the dump rows
+            smax = (
+                red[:, :cells, :out_c].reshape(m * cells, out_c)
+                .astype(self.dtype)
+            )
+            sums = red[:, :cells, FEAT:FEAT + 4].reshape(m, ny, nx, 4)
         cnt = sums[..., 0].reshape(m * cells)
         ccx = (jnp.arange(nx, dtype=jnp.float32) + 0.5) * vs[0] + lr[0]
         ccy = (jnp.arange(ny, dtype=jnp.float32) + 0.5) * vs[1] + lr[1]

@@ -89,3 +89,48 @@ def test_fast_pillar_empty_cloud():
     v = fast.init(jax.random.PRNGKey(0), pts, mask)
     out = fast.apply(v, pts, mask, train=False)
     assert float(jnp.abs(out).max()) == 0.0
+
+
+def test_fused_pillar_reduce_matches_xla_reference():
+    """Pallas kernel (interpret mode on CPU) == its XLA twin."""
+    from airv2x_tpu.ops.pallas_pillars import (
+        FEAT, LANES, NEG, fused_pillar_reduce, reference_pillar_reduce,
+    )
+
+    rng = np.random.default_rng(3)
+    m, n, cells = 3, 137, 50  # n deliberately not a multiple of the unroll
+    ids = rng.integers(0, cells + 1, (m, n)).astype(np.int32)  # incl. dump
+    vals = rng.normal(size=(m, n, LANES)).astype(np.float32)
+    vals[..., :FEAT] = np.where(
+        rng.uniform(size=(m, n, 1)) > 0.2, vals[..., :FEAT], NEG
+    )
+    out = fused_pillar_reduce(
+        jnp.asarray(ids), jnp.asarray(vals), cells=cells, interpret=True
+    )
+    ref = reference_pillar_reduce(jnp.asarray(ids), jnp.asarray(vals),
+                                  cells=cells)
+    np.testing.assert_allclose(
+        np.asarray(out)[:, :cells], np.asarray(ref)[:, :cells],
+        rtol=1e-6, atol=1e-5,
+    )
+
+
+def test_fast_pillar_pallas_path_matches_xla(monkeypatch):
+    """FastPillarBEV eval with the fused Pallas reduce (interpret mode)
+    equals the two-op XLA path bit-for-bit at f32."""
+    rng = np.random.default_rng(4)
+    pts, mask = _points(rng)
+    pts2 = jnp.stack([pts, pts[::-1]])  # (2, N, 4) leading map axis
+    mask2 = jnp.stack([mask, mask[::-1]])
+
+    fast = FastPillarBEV(num_filters=[16], voxel_size=VS, lidar_range=LR)
+    fv = fast.init(jax.random.PRNGKey(0), pts2, mask2, train=False)
+
+    monkeypatch.setenv("AIRV2X_PILLAR_KERNEL", "xla")
+    bev_xla = fast.apply(fv, pts2, mask2, train=False)
+    monkeypatch.setenv("AIRV2X_PILLAR_KERNEL", "pallas")
+    bev_pl = fast.apply(fv, pts2, mask2, train=False)
+    np.testing.assert_allclose(
+        np.asarray(bev_pl), np.asarray(bev_xla), rtol=1e-5, atol=1e-5
+    )
+    assert float(jnp.abs(bev_pl).max()) > 0
