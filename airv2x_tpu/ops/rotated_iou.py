@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 
 _EPS = 1e-8
+_TOL_M = 1e-4  # boundary tolerance for corner-inside tests, in meters
 _NUM_CAND = 24  # 16 edge-edge + 4 + 4 corner-inside candidates
 
 
@@ -38,15 +39,25 @@ def polygon_area(corners: jnp.ndarray) -> jnp.ndarray:
 
 
 def _points_in_quad(points: jnp.ndarray, quad: jnp.ndarray) -> jnp.ndarray:
-    """(..., P, 2) points inside (..., 4, 2) convex quad (either winding)."""
+    """(..., P, 2) points inside (..., 4, 2) convex quad (either winding).
+
+    Boundary tolerance is METRIC (a signed distance of ``_TOL_M`` meters),
+    not an absolute epsilon on the cross product: cross = dist * |edge|, and
+    at BEV coordinates ~O(10) m the f32 rounding of the cross product alone
+    is ~1e-6 — under jit, FMA fusion leaves exactly that residual for a
+    corner lying on its own quad's edge, so an absolute 1e-8 epsilon made
+    IDENTICAL quads fail the corner-inside test (IoU 1.0 eagerly, ~0
+    jitted — caught by tools/debug_utils' label round trip).
+    """
     a = quad  # (..., 4, 2)
     b = jnp.roll(quad, -1, axis=-2)
     edge = b - a  # (..., 4, 2)
     # cross(edge_k, p - a_k) for all points and edges -> (..., P, 4)
     rel = points[..., :, None, :] - a[..., None, :, :]  # (..., P, 4, 2)
     cross = edge[..., None, :, 0] * rel[..., 1] - edge[..., None, :, 1] * rel[..., 0]
-    inside_ccw = jnp.all(cross >= -_EPS, axis=-1)
-    inside_cw = jnp.all(cross <= _EPS, axis=-1)
+    lim = _TOL_M * jnp.linalg.norm(edge, axis=-1)[..., None, :]  # (..., 1, 4)
+    inside_ccw = jnp.all(cross >= -lim, axis=-1)
+    inside_cw = jnp.all(cross <= lim, axis=-1)
     return inside_ccw | inside_cw
 
 
