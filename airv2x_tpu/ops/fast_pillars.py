@@ -45,23 +45,25 @@ import jax
 import jax.numpy as jnp
 
 
-def _pillar_kernel_mode(cells: int, out_c: int) -> str:
+def _pillar_kernel_mode(cells: int, out_c: int, dtype) -> str:
     """Pick the eval-path reduction backend.
 
-    ``AIRV2X_PILLAR_KERNEL``: ``auto`` (default — the fused Pallas kernel on
-    TPU when the grid fits its VMEM-resident accumulator and the feature
-    width fits its 64 max lanes, XLA otherwise), ``pallas`` (force; runs in
-    interpret mode off-TPU — for tests), ``xla`` (force the two-op path).
+    ``AIRV2X_PILLAR_KERNEL``: ``auto`` (default — the fused Pallas encode
+    kernel on TPU when the grid + output buffer fit its VMEM-resident
+    accumulator and the feature width fits its 64 max lanes, XLA
+    otherwise), ``pallas`` (force; runs in interpret mode off-TPU — for
+    tests), ``xla`` (force the two-op path).
     """
-    from airv2x_tpu.ops.pallas_pillars import FEAT, supports_pallas_reduce
+    from airv2x_tpu.ops.pallas_pillars import FEAT, supports_pallas_encode
 
     mode = os.environ.get("AIRV2X_PILLAR_KERNEL", "auto")
-    fits = supports_pallas_reduce(cells) and out_c <= FEAT
+    fits = supports_pallas_encode(cells, dtype) and out_c <= FEAT
     if mode == "pallas":
         if not fits:
             raise ValueError(
                 f"AIRV2X_PILLAR_KERNEL=pallas but grid ({cells} cells, "
-                f"{out_c} features) exceeds the kernel limits"
+                f"{out_c} features, {jnp.dtype(dtype).name}) exceeds the "
+                "kernel limits"
             )
         return "interpret" if jax.default_backend() != "tpu" else "pallas"
     if mode == "auto" and fits and jax.default_backend() == "tpu":
@@ -275,23 +277,17 @@ class FastPillarBEV(nn.Module):
             [pts[:, 0] - gx, pts[:, 1] - gy, pts[:, 2] - gz], axis=-1
         )
 
-        mode = _pillar_kernel_mode(cells, out_c)
-        if mode == "xla":
-            uf = jnp.where(valid[:, None], u * flip, neg)
-            smax = jnp.full((m * cells, out_c), neg, self.dtype).at[gids].max(uf)
-            # MXU bilinear one-hot matmuls for the cell sums
-            sums = cell_mean_sums(
-                resid.reshape(m, n, 3),
-                (ids // nx).reshape(m, n),
-                (ids % nx).reshape(m, n),
-                w.reshape(m, n),
-                ny, nx, self.dtype,
-            )  # (m, ny, nx, 4) f32
-        else:
-            # ONE fused Pallas pass: feature scatter-max + count/residual
-            # scatter-add ride the same VMEM row RMW (ops/pallas_pillars.py)
+        mode = _pillar_kernel_mode(cells, out_c, self.dtype)
+        if mode != "xla":
+            # ONE fully fused Pallas pass: feature scatter-max +
+            # count/residual scatter-add ride the same VMEM row RMW, and the
+            # whole PFN epilogue (cell mean -> W_cl @ mean -> BN affine ->
+            # relu -> padding floor -> occupancy mask) runs in-kernel so
+            # only the FINAL grid leaves VMEM (ops/pallas_pillars.py; the
+            # reduce-only kernel lost its isolation win to a 432 MB HBM
+            # round trip — doc/performance.md round 4).
             from airv2x_tpu.ops.pallas_pillars import (
-                FEAT, LANES, NEG, fused_pillar_reduce,
+                FEAT, LANES, NEG, fused_pillar_encode,
             )
 
             ids_k = jnp.where(valid, ids, cells).reshape(m, n)
@@ -308,17 +304,58 @@ class FastPillarBEV(nn.Module):
                 resid.reshape(m * n, 3).astype(jnp.float32) * w[:, None],
                 jnp.zeros((m * n, LANES - FEAT - 4), jnp.float32),
             ]
-            red = fused_pillar_reduce(
+            # padding floor relu(bn(dense(0))) (see the XLA path below)
+            zrow = jnp.zeros((1, d_in), self.dtype)
+            pf = dense(zrow)
+            if self.use_norm:
+                pf = bn(pf, jnp.zeros((1,), bool), False)
+            pad_floor = nn.relu(pf)[0]
+            # W_cl rows via the dense module itself: unit means embedded in
+            # the f_cluster slot, bias removed with the zero probe
+            pw = prefix.shape[-1]
+            basis = (
+                jnp.zeros((3, d_in), self.dtype)
+                .at[:, pw:pw + 3].set(jnp.eye(3, dtype=self.dtype))
+            )
+            wcl = dense(basis) - dense(zrow)  # (3, out_c)
+            if self.use_norm:
+                a_k, b_k = a_aff, b_aff
+            else:
+                a_k = jnp.ones((out_c,), self.dtype)
+                b_k = jnp.zeros((out_c,), self.dtype)
+            params = jnp.zeros((8, LANES), jnp.float32)
+            params = params.at[0:3, :out_c].set(wcl.astype(jnp.float32))
+            params = params.at[3, :out_c].set(a_k.astype(jnp.float32))
+            params = params.at[4, :out_c].set(b_k.astype(jnp.float32))
+            params = params.at[5, :out_c].set(flip.astype(jnp.float32))
+            params = params.at[6, :out_c].set(pad_floor.astype(jnp.float32))
+            grid = fused_pillar_encode(
                 ids_k.astype(jnp.int32),
                 jnp.concatenate(lanes, axis=-1).reshape(m, n, LANES),
+                params,
                 cells=cells,
+                nx=nx,
+                grid_consts=(
+                    float(vs[0]), float(vs[1]),
+                    float(lr[0]) + 0.5 * float(vs[0]),
+                    float(lr[1]) + 0.5 * float(vs[1]),
+                    float(vs[2]) / 2 + float(lr[2]),
+                ),
+                out_dtype=self.dtype,
                 interpret=(mode == "interpret"),
-            )  # (m, cells + 8, 128); rows [cells:] are the dump rows
-            smax = (
-                red[:, :cells, :out_c].reshape(m * cells, out_c)
-                .astype(self.dtype)
-            )
-            sums = red[:, :cells, FEAT:FEAT + 4].reshape(m, ny, nx, 4)
+            )  # (m, cells, FEAT) final masked grid
+            return grid[..., :out_c].reshape(lead + (ny, nx, out_c))
+
+        uf = jnp.where(valid[:, None], u * flip, neg)
+        smax = jnp.full((m * cells, out_c), neg, self.dtype).at[gids].max(uf)
+        # MXU bilinear one-hot matmuls for the cell sums
+        sums = cell_mean_sums(
+            resid.reshape(m, n, 3),
+            (ids // nx).reshape(m, n),
+            (ids % nx).reshape(m, n),
+            w.reshape(m, n),
+            ny, nx, self.dtype,
+        )  # (m, ny, nx, 4) f32
         cnt = sums[..., 0].reshape(m * cells)
         ccx = (jnp.arange(nx, dtype=jnp.float32) + 0.5) * vs[0] + lr[0]
         ccy = (jnp.arange(ny, dtype=jnp.float32) + 0.5) * vs[1] + lr[1]
@@ -377,7 +414,9 @@ class FastPillarBEV(nn.Module):
         decomposition does not produce)."""
         import os
 
-        barrier = os.environ.get("AIRV2X_ENC_BARRIER") == "scatter"
+        barrier = "scatter" in os.environ.get(
+            "AIRV2X_ENC_BARRIER", ""
+        ).split(",")
         w = valid.astype(jnp.float32)
         # per-cell mean via one fused scatter-add of [1, x, y, z]
         ones_xyz = jnp.concatenate(

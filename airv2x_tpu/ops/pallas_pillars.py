@@ -142,6 +142,206 @@ def supports_pallas_reduce(cells: int) -> bool:
     return cells <= MAX_CELLS
 
 
+def supports_pallas_encode(cells: int, out_dtype) -> bool:
+    """VMEM fit for fused_pillar_encode: f32 accumulator + double-buffered
+    point blocks + one chunked output buffer under the raised 120 MB limit."""
+    item = jnp.dtype(out_dtype).itemsize
+    est = (
+        (cells + 8) * LANES * 4
+        + 2 * 4096 * LANES * 4
+        + _EPI_CHUNK * LANES * item
+    )
+    return est <= 112 * 1024 * 1024
+
+
+# ---------------------------------------------------------------------------
+# Fully fused encoder kernel: reduce + PFN epilogue -> final BEV grid.
+#
+# Round-4 finding (doc/performance.md): fused_pillar_reduce wins in isolation
+# (2.9 ms vs 5.0 ms for XLA scatter-max + MXU cell sums) but LOSES end to end,
+# because its (m, cells+8, 128) f32 output is a 432 MB HBM round trip that the
+# downstream slice/cast immediately re-reads (3.2 ms measured). This kernel
+# keeps the accumulator in VMEM and applies the whole eval-mode PFN epilogue
+# (cell mean -> W_cl @ mean -> BN affine -> relu -> padding floor -> occupancy
+# mask) in-kernel, emitting ONLY the final grid — (m, cells, 128) at bf16 =
+# 216 MB (the 128-lane width is a Mosaic DMA constraint; the caller's
+# [..., :64] slice fuses into the consumer), a 2x traffic cut plus the
+# removal of the f32 re-read.
+# ---------------------------------------------------------------------------
+
+_EPI_CHUNK = 8192  # epilogue row-block size (static slices)
+
+
+def _encode_kernel(
+    nx, vsx, vsy, cx0, cy0, cz, cells, out_dtype,
+    ids_ref, val_ref, par_ref, sel, out_ref, scratch, obuf, sem,
+):
+    """par rows: 0:3 = W_cl (f_cluster columns of the dense kernel),
+    3 = bn scale a, 4 = bn shift b, 5 = flip sign, 6 = padding floor."""
+    g = pl.program_id(0)
+    pc = pl.program_id(1)
+    n_pc = pl.num_programs(1)
+    rows = scratch.shape[0]
+
+    @pl.when(pc == 0)
+    def _zero():
+        scratch[:] = jnp.broadcast_to(
+            jnp.where(sel[:] > 0.5, jnp.float32(NEG), jnp.float32(0.0)),
+            (rows, LANES),
+        )
+
+    selv = sel[0, :] > 0.5
+    n = ids_ref.shape[2]
+
+    def body(k, carry):
+        base = k * _UNROLL
+        for j in range(_UNROLL):
+            p = base + j
+            r = ids_ref[0, 0, p]
+            row = scratch[r, :]
+            v = val_ref[0, p, :]
+            scratch[r, :] = jnp.where(selv, jnp.maximum(row, v), row + v)
+        return carry
+
+    jax.lax.fori_loop(0, n // _UNROLL, body, 0)
+
+    @pl.when(pc == n_pc - 1)
+    def _epilogue():
+        # all math over the full 128 lanes: the filler lanes [out_c:] carry
+        # zero params (W=a=b=flip=floor=0), so they compute to exactly 0 —
+        # the output stays 128-lane because Mosaic requires DMA slices to be
+        # lane-tile (128) aligned; the caller slices [..., :out_c] (cheap,
+        # bf16) instead of this kernel round-tripping f32 reductions.
+        wcl0 = par_ref[0:1, :]
+        wcl1 = par_ref[1:2, :]
+        wcl2 = par_ref[2:3, :]
+        a = par_ref[3:4, :]
+        b = par_ref[4:5, :]
+        flip = par_ref[5:6, :]
+        floor = par_ref[6:7, :]
+        inv_nx = jnp.float32(1.0 / nx)
+        for off in range(0, cells, _EPI_CHUNK):
+            r = min(_EPI_CHUNK, cells - off)
+            s = scratch[off:off + r, :]
+
+            def bc(x):
+                return jnp.broadcast_to(x, (r, LANES))
+
+            smax = s * bc(flip)
+            cnt = s[:, FEAT:FEAT + 1]
+            denom = jnp.maximum(cnt, 1.0)
+            # cell centers from the row index. iy = rf // nx via reciprocal
+            # multiply: shift rf by +0.5 so the product sits >= 0.5/nx away
+            # from every integer — the f32 product error (~2e-7 relative)
+            # can then never cross a floor boundary regardless of FMA
+            # contraction. (On-chip truth check, debug/probe_enc_truth.py:
+            # this kernel is slightly MORE accurate than the XLA path vs an
+            # f64 reference — 0.71 vs 0.83 max at f32, both dominated by
+            # the shared PFN dense running at TPU default matmul precision;
+            # their mutual 0.38 diff is the two mean reductions, f32
+            # sequential adds here vs default-precision one-hot matmuls
+            # in cell_mean_sums.)
+            it = jax.lax.broadcasted_iota(jnp.int32, (r, 1), 0)
+            rf = (it + off).astype(jnp.float32)
+            iy = jnp.floor((rf + 0.5) * inv_nx)
+            ix = rf - iy * nx
+            mx = s[:, FEAT + 1:FEAT + 2] / denom + (ix * vsx + cx0)
+            my = s[:, FEAT + 2:FEAT + 3] / denom + (iy * vsy + cy0)
+            mz = s[:, FEAT + 3:FEAT + 4] / denom + cz
+            m_cell = (
+                jnp.broadcast_to(mx, (r, LANES)) * bc(wcl0)
+                + jnp.broadcast_to(my, (r, LANES)) * bc(wcl1)
+                + jnp.broadcast_to(mz, (r, LANES)) * bc(wcl2)
+            )
+            v = (smax - m_cell) * bc(a) + bc(b)
+            feat = jnp.maximum(v, 0.0)
+            occ = jnp.broadcast_to(jnp.minimum(cnt, 1.0), (r, LANES))
+            out = occ * jnp.maximum(feat, bc(floor))
+            # chunked output DMA: the buffer is one epilogue chunk (2 MB at
+            # bf16) rather than the whole grid (36 MB) — keeps the flagship
+            # 140,800-cell map well inside VMEM at any out dtype
+            obuf[:r, :] = out.astype(out_dtype)
+            copy = pltpu.make_async_copy(
+                obuf.at[pl.ds(0, r)],
+                out_ref.at[g, pl.ds(off, r)],
+                sem,
+            )
+            copy.start()
+            copy.wait()
+
+
+@functools.partial(
+    jax.jit, static_argnames=("cells", "nx", "grid_consts", "out_dtype",
+                              "interpret")
+)
+def fused_pillar_encode(
+    ids, vals, params, *, cells: int, nx: int,
+    grid_consts: tuple, out_dtype=jnp.bfloat16, interpret: bool = False,
+):
+    """Points -> final eval-mode BEV grid in one VMEM-resident pass.
+
+    ids:  (m, n) int32 local cell ids in [0, cells); invalid/padding points
+          must already be redirected to ``cells`` (the dump row).
+    vals: (m, n, 128) — lanes [0:64] flipped PFN features u*flip (NEG for
+          invalid), lane 64 the count weight, lanes [65:68] weighted
+          cell-center residuals.
+    params: (8, 128) f32 — rows [0:3] W_cl, 3 bn scale, 4 bn shift, 5 flip,
+          6 padding floor (see FastPillarBEV); lanes past the real feature
+          width must be zero (their outputs then compute to exactly 0).
+    grid_consts: (vsx, vsy, cx0, cy0, cz) floats; cx0/cy0 are the center of
+          cell (0, 0), cz the constant z center.
+    Returns the final masked grid (m, cells, 128) in ``out_dtype`` — 128-lane
+    because Mosaic DMA slices must be lane-tile aligned; slice [..., :out_c].
+    """
+    m, n = ids.shape
+    if cells > MAX_CELLS:
+        raise ValueError(
+            f"grid of {cells} cells exceeds the VMEM-resident kernel limit "
+            f"({MAX_CELLS}); use the XLA path"
+        )
+    rows = cells + 8
+    # chunk the point axis so the input block stays small next to the
+    # accumulator (grid dim 1 iterates fastest; scratch persists across it);
+    # the chunk is a multiple of the unroll factor so the point loop needs
+    # no tail (padding points go to the dump row)
+    chunk = min(4096, -(-n // _UNROLL) * _UNROLL)
+    pad = (-n) % chunk
+    if pad:
+        ids = jnp.pad(ids, ((0, 0), (0, pad)), constant_values=cells)
+        vals = jnp.pad(vals, ((0, 0), (0, pad), (0, 0)))
+    npad = n + pad
+    vsx, vsy, cx0, cy0, cz = (float(v) for v in grid_consts)
+    sel = jnp.zeros((1, LANES), jnp.float32).at[0, :FEAT].set(1.0)
+    kernel = functools.partial(
+        _encode_kernel, nx, vsx, vsy, cx0, cy0, cz, cells, out_dtype
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(m, npad // chunk),
+        in_specs=[
+            pl.BlockSpec((1, 1, chunk), lambda g, c: (g, 0, c),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, chunk, LANES), lambda g, c: (g, c, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, LANES), lambda g, c: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, LANES), lambda g, c: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pl.ANY),
+        out_shape=jax.ShapeDtypeStruct((m, cells, LANES), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((rows, LANES), jnp.float32),
+            pltpu.VMEM((min(_EPI_CHUNK, cells), LANES), out_dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(ids.reshape(m, 1, npad), vals.astype(jnp.float32), params, sel)
+
+
 def reference_pillar_reduce(ids, vals, *, cells: int):
     """XLA twin of ``fused_pillar_reduce`` for tests and fallback."""
     m, n = ids.shape

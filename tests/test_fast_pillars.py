@@ -115,6 +115,39 @@ def test_fused_pillar_reduce_matches_xla_reference():
     )
 
 
+def test_fused_encode_row_index_at_nx_multiples(monkeypatch):
+    """Flagship-width grid (nx=704): cells whose flat id is an exact
+    multiple of nx exercise the in-kernel iy = rf // nx reciprocal multiply
+    (a plain floor(rf/nx) mis-rounds there — 0.38 max grid error on chip)."""
+    lr = [-140.8, -0.6, -3.0, 140.8, 0.6, 1.0]  # nx=704, ny=3
+    nx, ny = 704, 3
+    rng = np.random.default_rng(7)
+    n = 512
+    pts = np.stack([
+        rng.uniform(lr[0], lr[3], n),
+        rng.uniform(lr[1], lr[4], n),
+        rng.uniform(lr[2], lr[5], n),
+        rng.uniform(0, 1, n),
+    ], axis=-1).astype(np.float32)
+    # pin points into left-edge cells (ids 0, nx, 2*nx) and right edges
+    for i, (x, y) in enumerate([(-140.7, -0.5), (-140.7, 0.0),
+                                (-140.7, 0.5), (140.7, 0.5)]):
+        pts[i, 0], pts[i, 1] = x, y
+    mask = np.ones(n, bool)
+    pts_j, mask_j = jnp.asarray(pts), jnp.asarray(mask)
+
+    fast = FastPillarBEV(num_filters=[16], voxel_size=[0.4, 0.4, 4.0],
+                         lidar_range=lr)
+    fv = fast.init(jax.random.PRNGKey(0), pts_j, mask_j, train=False)
+    monkeypatch.setenv("AIRV2X_PILLAR_KERNEL", "xla")
+    bev_xla = fast.apply(fv, pts_j, mask_j, train=False)
+    monkeypatch.setenv("AIRV2X_PILLAR_KERNEL", "pallas")
+    bev_pl = fast.apply(fv, pts_j, mask_j, train=False)
+    np.testing.assert_allclose(
+        np.asarray(bev_pl), np.asarray(bev_xla), rtol=1e-5, atol=1e-5
+    )
+
+
 def test_fast_pillar_pallas_path_matches_xla(monkeypatch):
     """FastPillarBEV eval with the fused Pallas reduce (interpret mode)
     equals the two-op XLA path bit-for-bit at f32."""
