@@ -217,6 +217,20 @@ class HeteroLidarEncoder(nn.Module):
                 if len(modal_bevs) == 1
                 else jnp.mean(jnp.stack(modal_bevs, 0), axis=0)
             )
+            # Opt-in scheduling fence between the per-type encoder branches:
+            # the B>=4 training cliff is an XLA scheduling artifact of the
+            # combined hetero-encoder graph (doc/performance.md round 3/4);
+            # a barrier stops XLA from interleaving the three type subgraphs
+            # into one mega-schedule. AIRV2X_ENC_BARRIER is a comma set,
+            # e.g. "type" or "type,scatter" (see ops/fast_pillars.py).
+            import os
+
+            if "type" in os.environ.get(
+                "AIRV2X_ENC_BARRIER", ""
+            ).split(","):
+                import jax
+
+                bev = jax.lax.optimization_barrier(bev)
             feats.append(bev.reshape((b, n_t) + bev.shape[1:]))
             if self.keep_modal:
                 for mod_name in ("lidar", "cam"):

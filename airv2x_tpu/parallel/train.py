@@ -131,34 +131,107 @@ def make_train_step(
     mesh=None,
     donate: bool = True,
     compiler_options: dict | None = None,
+    accum_steps: int = 1,
 ):
     """Build the jitted train step. With a mesh, state is replicated and the
     batch is expected sharded along 'data'; XLA inserts the gradient psum.
 
     ``compiler_options`` carries per-config XLA workarounds
-    (utils.compile_opts.model_compiler_options)."""
+    (utils.compile_opts.model_compiler_options).
+
+    ``accum_steps > 1`` splits the per-chip batch into that many microbatches
+    run sequentially under ``lax.scan`` with gradient accumulation and ONE
+    optimizer update. This sidesteps the B>=4 encoder-graph scheduling cliff
+    (doc/performance.md round 3/4): B=4 as 2 microbatches of 2 costs ~2x a
+    B=2 step instead of ~5x. Semantics match running the microbatches as
+    consecutive steps of the reference's B=2 recipe — BN batch statistics
+    and their running updates are per-microbatch, the gradient is the mean
+    over microbatches, dropout/comm rngs differ per microbatch."""
+
+    def forward(params, stats, mb, rng):
+        out, updates = model.apply(
+            {"params": params, "batch_stats": stats},
+            mb,
+            train=True,
+            rngs={
+                "comm": rng,
+                "diffusion": jax.random.fold_in(rng, 1),
+                "dropout": jax.random.fold_in(rng, 2),
+            },
+            mutable=["batch_stats"],
+        )
+        total, parts = loss_fn(out, mb["labels"])
+        return total, (parts, updates["batch_stats"])
 
     def step_fn(state: TrainState, batch, rng):
         rng = jax.random.fold_in(rng, state.step)
 
-        def compute(params):
-            out, updates = model.apply(
-                {"params": params, "batch_stats": state.batch_stats},
-                batch,
-                train=True,
-                rngs={
-                    "comm": rng,
-                    "diffusion": jax.random.fold_in(rng, 1),
-                    "dropout": jax.random.fold_in(rng, 2),
-                },
-                mutable=["batch_stats"],
+        if accum_steps > 1:
+            b = batch["points"].shape[0]
+            assert b % accum_steps == 0, (
+                f"batch {b} not divisible by accum_steps {accum_steps}"
             )
-            total, parts = loss_fn(out, batch["labels"])
-            return total, (parts, updates["batch_stats"])
+            mb = b // accum_steps
 
-        (loss, (parts, new_stats)), grads = jax.value_and_grad(
-            compute, has_aux=True
-        )(state.params)
+            def split(x):
+                if hasattr(x, "ndim") and x.ndim >= 1 and x.shape[0] == b:
+                    return x.reshape((accum_steps, mb) + x.shape[1:]), True
+                return x, False
+
+            leaves, treedef = jax.tree.flatten(batch)
+            parts_flags = [split(x) for x in leaves]
+            scanned = [
+                x if f else None for (x, f) in parts_flags
+            ]
+            static = [None if f else x for (x, f) in parts_flags]
+
+            def body(carry, xs):
+                stats, grad_acc, parts_acc, k = carry
+                sc = xs
+                merged = [
+                    s if s is not None else st
+                    for s, st in zip(sc, static)
+                ]
+                micro = jax.tree.unflatten(treedef, merged)
+                (loss, (parts, new_stats)), grads = jax.value_and_grad(
+                    forward, has_aux=True
+                )(state.params, stats, micro, jax.random.fold_in(rng, k))
+                grad_acc = jax.tree.map(jnp.add, grad_acc, grads)
+                parts_acc = jax.tree.map(jnp.add, parts_acc, parts)
+                return (new_stats, grad_acc, parts_acc, k + 3), ()
+
+            zero_g = jax.tree.map(
+                lambda p: jnp.zeros(p.shape, jnp.float32), state.params
+            )
+            first = jax.tree.unflatten(
+                treedef,
+                [
+                    s[0] if s is not None else st
+                    for s, st in zip(scanned, static)
+                ],
+            )
+            zero_parts = jax.tree.map(
+                lambda _: jnp.float32(0.0),
+                jax.eval_shape(
+                    lambda p: forward(p, state.batch_stats, first, rng)[1][0],
+                    state.params,
+                ),
+            )
+            # None leaves are empty pytree nodes, so scan slices only the
+            # batch-led arrays and body sees Nones at the static positions
+            (new_stats, grads, parts, _), _ = jax.lax.scan(
+                body,
+                (state.batch_stats, zero_g, zero_parts, jnp.int32(0)),
+                scanned,
+            )
+            inv = 1.0 / accum_steps
+            grads = jax.tree.map(lambda g: g * inv, grads)
+            parts = jax.tree.map(lambda p: p * inv, parts)
+        else:
+            (loss, (parts, new_stats)), grads = jax.value_and_grad(
+                forward, has_aux=True
+            )(state.params, state.batch_stats, batch, rng)
+
         updates, new_opt = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
         new_state = state.replace(

@@ -46,6 +46,11 @@ def parse_args():
         "--num_workers", type=int, default=4, help="prefetch workers"
     )
     p.add_argument(
+        "--grad_accum", type=int, default=1,
+        help="microbatches per optimizer step (sidesteps the B>=4 encoder "
+        "scheduling cliff; see doc/performance.md)",
+    )
+    p.add_argument(
         "--synthetic",
         action="store_true",
         help="force synthetic data even if root_dir exists",
@@ -262,7 +267,8 @@ def main():
 
         copts = model_compiler_options(hypes)
         train_step = make_train_step(
-            model, loss_fn, tx, mesh=mesh, compiler_options=copts
+            model, loss_fn, tx, mesh=mesh, compiler_options=copts,
+            accum_steps=opt.grad_accum,
         )
         eval_step = make_eval_step(model, loss_fn, compiler_options=copts)
         rng = jax.random.PRNGKey(opt.seed)
