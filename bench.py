@@ -88,6 +88,12 @@ def build_bench(n_scenes: int):
     # tile the distinct scenes along the scan axis to SCAN_LEN sustained
     # steps (launch-overhead amortization; see module docstring)
     reps = max(1, SCAN_LEN // n_scenes)
+    if reps * n_scenes != SCAN_LEN:
+        print(
+            f"# BENCH_SCAN_LEN={SCAN_LEN} not a multiple of {n_scenes} "
+            f"scenes; effective scan length {reps * n_scenes}",
+            file=sys.stderr,
+        )
     xs = {}
     for k in scenes[0]:
         a = np.stack([s[k] for s in scenes])[:, None]
@@ -133,12 +139,19 @@ def measure(n_scenes: int, repeats: int = 3) -> float:
     t0 = time.perf_counter()
     variables, xs, run_all = build_bench(n_scenes)
     print(f"# build+init {time.perf_counter() - t0:.1f}s", file=sys.stderr)
-    t0 = time.perf_counter()
-    float(run_all(variables, xs))
-    print(f"# compile+first-run {time.perf_counter() - t0:.1f}s", file=sys.stderr)
-    best = float("inf")
     import jax
 
+    # Separate compile from first run (round-3 recorded a 457.8 s combined
+    # number with no way to tell program growth from tunnel degradation —
+    # VERDICT r3 item 4). AOT-compile first, then time the first execution.
+    t0 = time.perf_counter()
+    compiled = jax.jit(run_all).lower(variables, xs).compile()
+    print(f"# compile {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+    t0 = time.perf_counter()
+    float(compiled(variables, xs))
+    print(f"# first-run {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+
+    best = float("inf")
     steps = int(next(iter(xs.values())).shape[0])
     for _ in range(repeats):
         # fresh device buffers: identical input buffers hit a result cache
@@ -149,6 +162,20 @@ def measure(n_scenes: int, repeats: int = 3) -> float:
         float(run_all(variables, fresh))  # scalar fetch forces completion
         best = min(best, time.perf_counter() - t0)
     return steps / best
+
+
+def measure_launch_inclusive(n_scenes: int) -> float:
+    """Round-2 methodology: ONE n_scenes-step scan per timed invocation, so
+    the ~28 ms tunnel dispatch cost is NOT amortized. Reported alongside the
+    sustained number because ~18% of the round-3 36.1->57.7 delta was this
+    methodology change, not kernel work (ADVICE r3)."""
+    global SCAN_LEN
+    old = SCAN_LEN
+    SCAN_LEN = n_scenes
+    try:
+        return measure(n_scenes, repeats=3)
+    finally:
+        SCAN_LEN = old
 
 
 def main():
@@ -163,6 +190,14 @@ def main():
         return
 
     scenes_per_sec = measure(N_SCENES)
+    if os.environ.get("BENCH_LAUNCH_INCLUSIVE", "1") != "0":
+        li = measure_launch_inclusive(N_SCENES)
+        print(
+            f"# launch-inclusive {li:.1f} scenes/s (one {N_SCENES}-scene "
+            "scan per dispatch — round-2 methodology); sustained "
+            f"{scenes_per_sec:.1f} scenes/s ({SCAN_LEN}-step scan)",
+            file=sys.stderr,
+        )
 
     vs = None
     cache_path = os.path.join(
@@ -172,8 +207,10 @@ def main():
         env = dict(os.environ)
         env["BENCH_CPU_CHILD"] = "1"
         # the CPU baseline is seconds per scene — no launch overhead to
-        # amortize; keep its scan short
-        env.setdefault("BENCH_SCAN_LEN", "2")
+        # amortize; force a short scan regardless of the parent's
+        # BENCH_SCAN_LEN (a 64-step CPU scan would blow the timeout and
+        # silently fall back to the stale cached baseline — ADVICE r3).
+        env["BENCH_SCAN_LEN"] = "2"
         try:
             out = subprocess.run(
                 [sys.executable, os.path.abspath(__file__)],
