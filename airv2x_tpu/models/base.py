@@ -223,6 +223,8 @@ class HeteroLidarEncoder(nn.Module):
             # a barrier stops XLA from interleaving the three type subgraphs
             # into one mega-schedule. AIRV2X_ENC_BARRIER is a comma set,
             # e.g. "type" or "type,scatter" (see ops/fast_pillars.py).
+            # Read at TRACE time: changing it after a jitted graph is
+            # cached in-process has no effect on that graph (ADVICE r4).
             import os
 
             if "type" in os.environ.get(

@@ -53,6 +53,11 @@ def _pillar_kernel_mode(cells: int, out_c: int, dtype) -> str:
     accumulator and the feature width fits its 64 max lanes, XLA
     otherwise), ``pallas`` (force; runs in interpret mode off-TPU — for
     tests), ``xla`` (force the two-op path).
+
+    NOTE: the env var is read at TRACE time (module ``__call__``). Once a
+    jitted graph is traced and cached in-process, changing the variable has
+    no effect on that graph — set it before the first call, or start a new
+    process (same for ``AIRV2X_ENC_BARRIER`` in models/base.py; ADVICE r4).
     """
     from airv2x_tpu.ops.pallas_pillars import FEAT, supports_pallas_encode
 

@@ -60,11 +60,22 @@ MAX_CELLS = 165_000
 
 
 def _kernel(ids_ref, val_ref, sel, out_ref, scratch, sem):
+    # Point axis is chunked on grid dim 1 (scratch persists across it):
+    # staging the whole axis as one VMEM block double-buffers ~2x n*512 B
+    # next to the accumulator and blows the 120 MB limit at the ~120k-point
+    # flagship scale (ADVICE r4).
+    g = pl.program_id(0)
+    pc = pl.program_id(1)
+    n_pc = pl.num_programs(1)
     rows = scratch.shape[0]
-    scratch[:] = jnp.broadcast_to(
-        jnp.where(sel[:] > 0.5, jnp.float32(NEG), jnp.float32(0.0)),
-        (rows, LANES),
-    )
+
+    @pl.when(pc == 0)
+    def _zero():
+        scratch[:] = jnp.broadcast_to(
+            jnp.where(sel[:] > 0.5, jnp.float32(NEG), jnp.float32(0.0)),
+            (rows, LANES),
+        )
+
     selv = sel[0, :] > 0.5
     n = ids_ref.shape[2]
 
@@ -80,20 +91,11 @@ def _kernel(ids_ref, val_ref, sel, out_ref, scratch, sem):
 
     jax.lax.fori_loop(0, n // _UNROLL, body, 0)
 
-    # tail (n not a multiple of the unroll factor)
-    def tail(p, carry):
-        r = ids_ref[0, 0, p]
-        row = scratch[r, :]
-        v = val_ref[0, p, :]
-        scratch[r, :] = jnp.where(selv, jnp.maximum(row, v), row + v)
-        return carry
-
-    jax.lax.fori_loop((n // _UNROLL) * _UNROLL, n, tail, 0)
-
-    g = pl.program_id(0)
-    copy = pltpu.make_async_copy(scratch, out_ref.at[g], sem)
-    copy.start()
-    copy.wait()
+    @pl.when(pc == n_pc - 1)
+    def _flush():
+        copy = pltpu.make_async_copy(scratch, out_ref.at[g], sem)
+        copy.start()
+        copy.wait()
 
 
 @functools.partial(jax.jit, static_argnames=("cells", "interpret"))
@@ -113,16 +115,24 @@ def fused_pillar_reduce(ids, vals, *, cells: int, interpret: bool = False):
             f"({MAX_CELLS}); use the XLA path"
         )
     rows = cells + 8
+    # chunk the point axis (multiple of the unroll factor: padding points go
+    # to the dump row, so no tail loop is needed)
+    chunk = min(4096, -(-n // _UNROLL) * _UNROLL)
+    pad = (-n) % chunk
+    if pad:
+        ids = jnp.pad(ids, ((0, 0), (0, pad)), constant_values=cells)
+        vals = jnp.pad(vals, ((0, 0), (0, pad), (0, 0)))
+    npad = n + pad
     sel = jnp.zeros((1, LANES), jnp.float32).at[0, :FEAT].set(1.0)
     return pl.pallas_call(
         _kernel,
-        grid=(m,),
+        grid=(m, npad // chunk),
         in_specs=[
-            pl.BlockSpec((1, 1, n), lambda g: (g, 0, 0),
+            pl.BlockSpec((1, 1, chunk), lambda g, c: (g, 0, c),
                          memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, n, LANES), lambda g: (g, 0, 0),
+            pl.BlockSpec((1, chunk, LANES), lambda g, c: (g, c, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, LANES), lambda g: (0, 0),
+            pl.BlockSpec((1, LANES), lambda g, c: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(memory_space=pl.ANY),
@@ -135,7 +145,7 @@ def fused_pillar_reduce(ids, vals, *, cells: int, interpret: bool = False):
             vmem_limit_bytes=120 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(ids.reshape(m, 1, n), vals.astype(jnp.float32), sel)
+    )(ids.reshape(m, 1, npad), vals.astype(jnp.float32), sel)
 
 
 def supports_pallas_reduce(cells: int) -> bool:
@@ -144,8 +154,19 @@ def supports_pallas_reduce(cells: int) -> bool:
 
 def supports_pallas_encode(cells: int, out_dtype) -> bool:
     """VMEM fit for fused_pillar_encode: f32 accumulator + double-buffered
-    point blocks + one chunked output buffer under the raised 120 MB limit."""
+    point blocks + one chunked output buffer under the raised 120 MB limit.
+
+    Also requires ``cells`` to be a multiple of the out-dtype sublane tile
+    (8 rows at f32, 16 at bf16): the epilogue's final chunked output DMA
+    slice is ``cells % _EPI_CHUNK`` rows, and Mosaic DMA slices must be
+    sublane-tile aligned on real TPU (interpret mode does not enforce this
+    — ADVICE r4). Every shipped BEV grid has nx a multiple of 16, so this
+    never gates a real config.
+    """
     item = jnp.dtype(out_dtype).itemsize
+    tile = 32 // item  # f32 -> 8 rows, bf16 -> 16
+    if cells % tile:
+        return False
     est = (
         (cells + 8) * LANES * 4
         + 2 * 4096 * LANES * 4

@@ -19,6 +19,7 @@ Use ``--epochs 2 --steps 4`` for a smoke run (tests do).
 from __future__ import annotations
 
 import argparse
+import ast
 import json
 import os
 import shutil
@@ -98,7 +99,9 @@ def main():
     with open(os.path.join(run_dir, "results.txt")) as f:
         for line in f:
             if line.startswith("COMBINED:"):
-                combined = eval(line.split(":", 1)[1].strip())  # noqa: S307
+                # literal_eval: the COMBINED payload is a plain dict literal;
+                # never execute code from a run dir (ADVICE r4)
+                combined = ast.literal_eval(line.split(":", 1)[1].strip())
     assert combined is not None, "inference wrote no COMBINED line"
     gate = {k: combined[k] for k in ("ap_30", "ap_50", "ap_70")}
     summary = {
