@@ -19,6 +19,7 @@ paths execute for golden-output testing:
 
 from __future__ import annotations
 
+import importlib.machinery
 import sys
 import types
 
@@ -35,6 +36,15 @@ class _AnyStub:
 
 def _stub_module(name, **attrs):
     m = types.ModuleType(name)
+    # A real ModuleSpec: transformers (and anything else that calls
+    # importlib.util.find_spec on an already-imported name) raises
+    # "ValueError: <name>.__spec__ is None" on bare stub modules, which
+    # broke any pytest collection order that installed stubs before
+    # importing transformers (VERDICT r4 weak #7).
+    m.__spec__ = importlib.machinery.ModuleSpec(
+        name, loader=None, is_package=True
+    )
+    m.__path__ = []  # mark as package: stubs host dotted submodules
     for k, v in attrs.items():
         setattr(m, k, v)
 
