@@ -5,6 +5,13 @@ features and the MXU bilinear ``cell_mean_sums``) — together ~7.2 ms at the
 flagship scale (120k points -> 6 x 140800-cell maps, measured round 4) —
 with ONE sequential pass over the points at ~33 ns/point (~4 ms).
 
+Round-5 composed verdict (doc/performance.md "Round-5 stage profile"): the
+isolated win does NOT survive composition — in the full pipeline XLA fuses
+the PFN epilogue into its own reduce path and both encoders cost ~5.0
+ms/scene. Kept because it is never slower, but the e2e gain is ~0.2
+ms/scene and it adds ~150 s of Mosaic compile on a cold cache; judge any
+successor kernel by composed stage deltas (tools/profile_stages.py).
+
 Reference cost being replaced: the spconv voxel hash + PillarVFE gather of
 ``/root/reference/opencood/data_utils/pre_processor/sp_voxel_preprocessor.py:55-120``
 and ``common_modules/airv2x_pillar_vfe.py:52-160`` (CPU/CUDA there).
