@@ -23,6 +23,55 @@ BN_EPS = 1e-3
 BN_MOMENTUM = 0.99  # flax: ema = m * ema + (1 - m) * batch
 
 
+def _conv3x3_mode(shape, dtype, features: int) -> str:
+    """Eval-path backend for 3x3 stride-1 convs (the backbone hot op).
+
+    ``AIRV2X_CONV_KERNEL``: ``auto`` (default — currently XLA everywhere:
+    kernel v1 measures SLOWER than XLA's conv in the composed chain,
+    1.29 vs 0.71 ms/layer at stage 1 — doc/performance.md round 5),
+    ``pallas`` (force the Pallas kernel; interpret mode off-TPU — for
+    tests and perf experiments), ``xla``.
+    Read at TRACE time, like AIRV2X_PILLAR_KERNEL (see fast_pillars.py).
+    """
+    import os
+
+    from airv2x_tpu.ops.pallas_conv import supports_pallas_conv3x3
+
+    mode = os.environ.get("AIRV2X_CONV_KERNEL", "auto")
+    fits = supports_pallas_conv3x3(shape, dtype, features)
+    if mode == "pallas":
+        if not fits:
+            raise ValueError(
+                f"AIRV2X_CONV_KERNEL=pallas but {shape} -> {features} "
+                "exceeds the kernel's VMEM budget"
+            )
+        return "interpret" if jax.default_backend() != "tpu" else "pallas"
+    return "xla"
+
+
+class PallasConv3x3(nn.Module):
+    """Drop-in for ``nn.Conv(features, (3, 3), padding 1, no bias)`` backed
+    by ops/pallas_conv.py — param tree identical to nn.Conv ('kernel',
+    HWIO, f32 params), so converted checkpoints load unchanged."""
+
+    features: int
+    dtype: Dtype = jnp.float32
+    interpret: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        from airv2x_tpu.ops.pallas_conv import conv3x3_same
+
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (3, 3, x.shape[-1], self.features),
+            jnp.float32,
+        )
+        x, kernel = nn.dtypes.promote_dtype(x, kernel, dtype=self.dtype)
+        return conv3x3_same(x, kernel, interpret=self.interpret)
+
+
 class ConvBNReLU(nn.Module):
     """3x3-style Conv -> BatchNorm -> ReLU block of the BEV backbones."""
 
@@ -33,6 +82,30 @@ class ConvBNReLU(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        mode = (
+            _conv3x3_mode(x.shape, self.dtype, self.features)
+            if not train and self.kernel == 3 and self.stride == 1
+            and not self.is_initializing()
+            else "xla"
+        )
+        if mode != "xla":
+            # fused Pallas path: conv + folded eval-BN affine + ReLU in one
+            # kernel (ops/pallas_conv.py). Init always takes the XLA branch,
+            # so the param tree is identical and checkpoints interchange.
+            from airv2x_tpu.ops.pallas_conv import conv3x3_same
+
+            kernel = self.get_variable("params", "Conv_0")["kernel"]
+            bnp = self.get_variable("params", "BatchNorm_0")
+            bns = self.get_variable("batch_stats", "BatchNorm_0")
+            scale = bnp["scale"] * jax.lax.rsqrt(
+                bns["var"].astype(jnp.float32) + BN_EPS
+            )
+            bias = bnp["bias"] - bns["mean"] * scale
+            xc, kc = nn.dtypes.promote_dtype(x, kernel, dtype=self.dtype)
+            return conv3x3_same(
+                xc, kc, scale, bias, relu=True,
+                interpret=mode == "interpret",
+            )
         x = nn.Conv(
             self.features,
             (self.kernel, self.kernel),
@@ -40,6 +113,7 @@ class ConvBNReLU(nn.Module):
             padding=[(1, 1), (1, 1)] if self.kernel == 3 else "SAME",
             use_bias=False,
             dtype=self.dtype,
+            name="Conv_0",
         )(x)
         x = nn.BatchNorm(
             use_running_average=not train,

@@ -62,9 +62,10 @@ def build_inputs(hypes, layout, batch_size: int, steps: int, seed: int = 0):
             pts_per_box=100,
         )
         batches.append(b)
-    return {
-        k: np.stack([b[k] for b in batches]) for k in batches[0]
-    }
+    import jax
+
+    # labels is a nested dict — stack leaf-wise, not dict-wise
+    return jax.tree.map(lambda *xs: np.stack(xs), *batches)
 
 
 def bench_cell(hypes, batch_size: int, setting: str, steps: int,
