@@ -27,9 +27,16 @@ import sys
 def main() -> None:
     pid = int(sys.argv[1])
     port = int(sys.argv[2])
+    # port 0 = single-process CONTROL: same graph and global batch on one
+    # process owning all 8 virtual devices (no jax.distributed) — the
+    # baseline the 2-process DCN timing is compared against
+    single = port == 0
+    world = 1 if single else 2
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     sys.path.insert(0, repo_root)
-    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=4"
+    os.environ["XLA_FLAGS"] = (
+        f"--xla_force_host_platform_device_count={8 if single else 4}"
+    )
 
     import jax
 
@@ -40,11 +47,13 @@ def main() -> None:
     # cross-host loss agreement, not speed) and share the persistent cache
     jax.config.update("jax_disable_most_optimizations", True)
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-    jax.distributed.initialize(
-        f"localhost:{port}", num_processes=2, process_id=pid
-    )
-    assert jax.process_count() == 2
-    assert jax.device_count() == 8 and jax.local_device_count() == 4
+    if not single:
+        jax.distributed.initialize(
+            f"localhost:{port}", num_processes=2, process_id=pid
+        )
+        assert jax.process_count() == 2
+        assert jax.local_device_count() == 4
+    assert jax.device_count() == 8
 
     import jax.numpy as jnp
     import numpy as np
@@ -96,9 +105,11 @@ def main() -> None:
     # DistributedSampler twin: each host prepares ONLY its index shard,
     # through the prefetch worker pool (world_size = 2)
     global_n = 4
-    my_indices = Prefetcher.shard_indices(global_n, pid, 2, seed=7)
+    my_indices = Prefetcher.shard_indices(
+        global_n, 0 if single else pid, world, seed=7
+    )
     scenes = list(Prefetcher(make_scene, my_indices, num_workers=2))
-    assert len(scenes) == global_n // 2
+    assert len(scenes) == global_n // world
     local = {}
     for k in scenes[0]:
         if k == "labels":
@@ -138,7 +149,26 @@ def main() -> None:
     assert np.isfinite(total)
     assert int(new_state.step) == 1
     print(f"MULTIHOST_LOSS {total!r}", flush=True)
-    jax.distributed.shutdown()
+
+    # optional DCN-overhead timing (VERDICT r4 item 9): time K further
+    # steps of the SAME compiled program. Compared by the test against the
+    # single-process 8-device control to report the per-step cost of
+    # spanning the data axis across two gloo-coordinated processes.
+    k = int(os.environ.get("MULTIHOST_TIME_STEPS", "0"))
+    if k:
+        import time
+
+        with mesh, spatial_sharding(mesh):
+            t0 = time.perf_counter()
+            for i in range(k):
+                new_state, parts = step(
+                    new_state, batch, jax.random.PRNGKey(8 + i)
+                )
+            jax.block_until_ready(new_state)
+        ms = (time.perf_counter() - t0) / k * 1e3
+        print(f"MULTIHOST_STEP_MS {ms:.2f}", flush=True)
+    if not single:
+        jax.distributed.shutdown()
 
 
 if __name__ == "__main__":
