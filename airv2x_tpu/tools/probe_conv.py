@@ -132,7 +132,24 @@ def probe(scan_len: int, depth: int):
             for _ in range(depth)
         )
         out[f"{name}/conv1x1_9c"] = _time_chain(conv1, acc1, ws1, scan_len, flops)
-        for k in (f"{name}/conv3x3", f"{name}/matmul9c", f"{name}/conv1x1_9c"):
+
+        # XLA im2col: materialise (b,h,w,9c) patches in HBM, then one
+        # matmul — pays 9x activation traffic to buy the matmul rate
+        def im2col(y, wt):
+            p = jax.lax.conv_general_dilated_patches(
+                y, (3, 3), (1, 1), [(1, 1), (1, 1)],
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            z = p.reshape(b * h * w, 9 * c) @ wt
+            return z.reshape(b, h, w, c)
+
+        wsp = tuple(
+            jnp.asarray(rng.standard_normal((9 * c, c)) * 0.05, jnp.bfloat16)
+            for _ in range(depth)
+        )
+        out[f"{name}/im2col"] = _time_chain(im2col, x0, wsp, scan_len, flops)
+        for k in (f"{name}/conv3x3", f"{name}/matmul9c",
+                  f"{name}/conv1x1_9c", f"{name}/im2col"):
             print(f"# {k}: {out[k]}", file=sys.stderr)
     return out
 
