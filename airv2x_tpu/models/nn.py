@@ -27,10 +27,11 @@ def _conv3x3_mode(shape, dtype, features: int) -> str:
     """Eval-path backend for 3x3 stride-1 convs (the backbone hot op).
 
     ``AIRV2X_CONV_KERNEL``: ``auto`` (default — currently XLA everywhere:
-    kernel v1 measures SLOWER than XLA's conv in the composed chain,
-    1.29 vs 0.71 ms/layer at stage 1 — doc/performance.md round 5),
+    the Pallas v1 kernel measures SLOWER than XLA's conv in the composed
+    chain, 1.29 vs 0.71 ms/layer at stage 1 — doc/performance.md round 5),
     ``pallas`` (force the Pallas kernel; interpret mode off-TPU — for
-    tests and perf experiments), ``xla``.
+    tests and perf experiments), ``im2col`` (XLA patches + matmul),
+    ``xla``.
     Read at TRACE time, like AIRV2X_PILLAR_KERNEL (see fast_pillars.py).
     """
     import os
@@ -39,6 +40,8 @@ def _conv3x3_mode(shape, dtype, features: int) -> str:
 
     mode = os.environ.get("AIRV2X_CONV_KERNEL", "auto")
     fits = supports_pallas_conv3x3(shape, dtype, features)
+    if mode == "im2col":
+        return "im2col"
     if mode == "pallas":
         if not fits:
             raise ValueError(
@@ -89,10 +92,13 @@ class ConvBNReLU(nn.Module):
             else "xla"
         )
         if mode != "xla":
-            # fused Pallas path: conv + folded eval-BN affine + ReLU in one
-            # kernel (ops/pallas_conv.py). Init always takes the XLA branch,
-            # so the param tree is identical and checkpoints interchange.
-            from airv2x_tpu.ops.pallas_conv import conv3x3_same
+            # fused conv + folded eval-BN affine + ReLU path
+            # (ops/pallas_conv.py). Init always takes the XLA branch, so
+            # the param tree is identical and checkpoints interchange.
+            from airv2x_tpu.ops.pallas_conv import (
+                conv3x3_im2col,
+                conv3x3_same,
+            )
 
             kernel = self.get_variable("params", "Conv_0")["kernel"]
             bnp = self.get_variable("params", "BatchNorm_0")
@@ -102,6 +108,8 @@ class ConvBNReLU(nn.Module):
             )
             bias = bnp["bias"] - bns["mean"] * scale
             xc, kc = nn.dtypes.promote_dtype(x, kernel, dtype=self.dtype)
+            if mode == "im2col":
+                return conv3x3_im2col(xc, kc, scale, bias, relu=True)
             return conv3x3_same(
                 xc, kc, scale, bias, relu=True,
                 interpret=mode == "interpret",

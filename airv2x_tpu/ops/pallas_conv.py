@@ -66,6 +66,36 @@ def supports_pallas_conv3x3(shape, dtype, features: int) -> bool:
     return est <= _VMEM_BUDGET
 
 
+def conv3x3_im2col(x, w, scale=None, bias=None, *, relu: bool = False):
+    """XLA im2col form of the same op: materialise (B,H,W,9C) patches in
+    HBM, then one (B·H·W, 9C) x (9C, Cout) matmul + affine + relu.
+
+    Pays 9x activation traffic to buy the MXU matmul rate (probe:
+    1x1-conv-at-9C runs 62-82 TFLOP/s vs 33-56 for XLA's 3x3 lowering) —
+    wins when the FLOPs/byte of the layer is high enough (256ch stage 3).
+    Patches feature order is (c, kh, kw) — the weight transpose below.
+    """
+    b, h, width, c = x.shape
+    _, _, cin, cout = w.shape
+    assert cin == c
+    p = jax.lax.conv_general_dilated_patches(
+        x, (3, 3), (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    wf = w.astype(x.dtype).transpose(2, 0, 1, 3).reshape(9 * c, cout)
+    out = jnp.dot(
+        p.reshape(b * h * width, 9 * c), wf,
+        preferred_element_type=jnp.float32,
+    )
+    if scale is not None:
+        out = out * scale.astype(jnp.float32).reshape(1, cout)
+    if bias is not None:
+        out = out + bias.astype(jnp.float32).reshape(1, cout)
+    if relu:
+        out = jnp.maximum(out, 0.0)
+    return out.astype(x.dtype).reshape(b, h, width, cout)
+
+
 def _kernel(h, wp, cout, relu, x_ref, w_ref, s_ref, b_ref, o_ref):
     rows = h * wp
     acc = jnp.zeros((rows, cout), jnp.float32)

@@ -57,6 +57,33 @@ def test_fused_affine_relu_epilogue():
     np.testing.assert_allclose(got, ref, atol=1e-4, rtol=1e-4)
 
 
+def test_im2col_matches_conv():
+    from airv2x_tpu.ops.pallas_conv import conv3x3_im2col
+
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.standard_normal((2, 7, 9, 8)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((3, 3, 8, 16)) * 0.1, jnp.float32)
+    s = jnp.asarray(rng.standard_normal(16) + 1.0, jnp.float32)
+    b = jnp.asarray(rng.standard_normal(16), jnp.float32)
+    got = conv3x3_im2col(x, k, s, b, relu=True)
+    ref = jnp.maximum(_ref(x, k) * s + b, 0.0)
+    np.testing.assert_allclose(got, ref, atol=1e-4, rtol=1e-4)
+
+
+def test_convbnrelu_im2col_matches_xla(monkeypatch):
+    from airv2x_tpu.models.nn import ConvBNReLU
+
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.standard_normal((2, 8, 16, 8)), jnp.float32)
+    blk = ConvBNReLU(8, dtype=jnp.float32)
+    monkeypatch.setenv("AIRV2X_CONV_KERNEL", "xla")
+    variables = blk.init(jax.random.PRNGKey(0), x, False)
+    ref = blk.apply(variables, x, False)
+    monkeypatch.setenv("AIRV2X_CONV_KERNEL", "im2col")
+    got = blk.apply(variables, x, False)
+    np.testing.assert_allclose(got, ref, atol=1e-5, rtol=1e-5)
+
+
 def test_support_gate():
     assert supports_pallas_conv3x3((6, 100, 352, 64), jnp.bfloat16, 64)
     assert supports_pallas_conv3x3((6, 25, 88, 256), jnp.bfloat16, 256)
