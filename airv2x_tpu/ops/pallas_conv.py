@@ -110,8 +110,42 @@ def _kernel(h, wp, cout, relu, x_ref, w_ref, s_ref, b_ref, o_ref):
     o_ref[0] = acc.astype(o_ref.dtype)
 
 
+def _kernel_allmaps(b, h, wp, cout, relu, x_ref, w_ref, s_ref, b_ref, o_ref):
+    rows = h * wp
+    for m in range(b):
+        acc = jnp.zeros((rows, cout), jnp.float32)
+        for di in range(3):
+            slab = x_ref[m, di * wp : di * wp + rows, :]
+            acc = acc + jnp.dot(
+                slab, w_ref[di], preferred_element_type=jnp.float32
+            )
+        acc = acc * s_ref[0] + b_ref[0]
+        if relu:
+            acc = jnp.maximum(acc, 0.0)
+        o_ref[m] = acc.astype(o_ref.dtype)
+
+
+def supports_pallas_conv3x3_allmaps(shape, dtype, features: int) -> bool:
+    """Single-invocation variant: ALL maps resident (no grid, no per-step
+    pipeline overhead). Fits stages 2/3 of the flagship backbone."""
+    if len(shape) != 4:
+        return False
+    b, h, w, c = shape
+    if c % 8 or features % 8 or h < 2 or w < 2:
+        return False
+    item = jnp.dtype(dtype).itemsize
+    wp = _padded_w(w, dtype)
+    est = (
+        b * (h + 2) * wp * 3 * c * item
+        + b * h * wp * features * item
+        + h * wp * features * 4
+        + 3 * 3 * c * features * item
+    )
+    return est <= _VMEM_BUDGET
+
+
 def conv3x3_same(x, w, scale=None, bias=None, *, relu: bool = False,
-                 interpret: bool = False):
+                 allmaps: bool = False, interpret: bool = False):
     """3x3 stride-1 SAME conv, NHWC x HWIO -> NHWC, with an optional fused
     per-channel affine + ReLU epilogue (folded eval-mode BatchNorm).
 
@@ -143,21 +177,31 @@ def conv3x3_same(x, w, scale=None, bias=None, *, relu: bool = False,
     scale = scale.astype(jnp.float32).reshape(1, cout)
     bias = bias.astype(jnp.float32).reshape(1, cout)
 
-    out = pl.pallas_call(
-        functools.partial(_kernel, h, wp, cout, relu),
-        grid=(b,),
-        in_specs=[
-            pl.BlockSpec((1, (h + 2) * wp, 3 * c), lambda i: (i, 0, 0)),
-            pl.BlockSpec((3, 3 * c, cout), lambda i: (0, 0, 0)),
-            pl.BlockSpec((1, cout), lambda i: (0, 0)),
-            pl.BlockSpec((1, cout), lambda i: (0, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, h * wp, cout), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((b, h * wp, cout), dtype),
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=120 * 1024 * 1024,
-        ),
-        interpret=interpret,
-    )(xflat, wf, scale, bias)
+    if allmaps:
+        out = pl.pallas_call(
+            functools.partial(_kernel_allmaps, b, h, wp, cout, relu),
+            out_shape=jax.ShapeDtypeStruct((b, h * wp, cout), dtype),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=120 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(xflat, wf, scale, bias)
+    else:
+        out = pl.pallas_call(
+            functools.partial(_kernel, h, wp, cout, relu),
+            grid=(b,),
+            in_specs=[
+                pl.BlockSpec((1, (h + 2) * wp, 3 * c), lambda i: (i, 0, 0)),
+                pl.BlockSpec((3, 3 * c, cout), lambda i: (0, 0, 0)),
+                pl.BlockSpec((1, cout), lambda i: (0, 0)),
+                pl.BlockSpec((1, cout), lambda i: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((1, h * wp, cout), lambda i: (i, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((b, h * wp, cout), dtype),
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=120 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(xflat, wf, scale, bias)
     out = out.reshape(b, h, wp, cout)
     return out[:, :, :width, :] if wp != width else out
