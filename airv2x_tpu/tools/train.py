@@ -61,6 +61,15 @@ def parse_args():
     return p.parse_args()
 
 
+def resolve_grad_accum(flag: int, batch_size: int) -> int:
+    """0 (auto) -> microbatches of 2 when the per-chip batch is an even
+    number > 2 (measured round 5: B=4 accum2 159.5 ms/step vs 319.6 plain,
+    doc/bench_train_r05.json); any explicit value passes through."""
+    if flag:
+        return flag
+    return batch_size // 2 if batch_size > 2 and batch_size % 2 == 0 else 1
+
+
 def build_real_loaders(hypes, opt, batch_size):
     """(train_loader, val_loader|None) when root_dir exists, else None."""
     root = hypes.get("root_dir") or ""
@@ -206,15 +215,12 @@ def main():
     tp = hypes["train_params"]
     epochs = opt.epochs or int(tp["epoches"])
     batch_size = opt.batch_size or int(tp["batch_size"])
-    if not opt.grad_accum:  # auto: microbatches of 2 above the B=2 sweet spot
-        opt.grad_accum = (
-            batch_size // 2 if batch_size > 2 and batch_size % 2 == 0 else 1
+    opt.grad_accum = resolve_grad_accum(opt.grad_accum, batch_size)
+    if opt.grad_accum > 1:
+        print(
+            f"grad_accum -> {opt.grad_accum} (per-chip batch "
+            f"{batch_size} as microbatches of 2; doc/performance.md r5)"
         )
-        if opt.grad_accum > 1:
-            print(
-                f"grad_accum auto -> {opt.grad_accum} (per-chip batch "
-                f"{batch_size} as microbatches of 2; doc/performance.md r5)"
-            )
     save_freq = int(tp.get("save_freq", 1))
     eval_freq = int(tp.get("eval_freq", 2))
 

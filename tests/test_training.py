@@ -116,3 +116,17 @@ def test_dryrun_multichip():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_resolve_grad_accum_auto_rule():
+    from airv2x_tpu.tools.train import resolve_grad_accum
+
+    # auto: microbatches of 2 only above the measured B=2 sweet spot
+    assert resolve_grad_accum(0, 1) == 1
+    assert resolve_grad_accum(0, 2) == 1
+    assert resolve_grad_accum(0, 3) == 1  # odd: no clean microbatch split
+    assert resolve_grad_accum(0, 4) == 2
+    assert resolve_grad_accum(0, 8) == 4
+    # explicit values pass through untouched
+    assert resolve_grad_accum(1, 4) == 1
+    assert resolve_grad_accum(3, 6) == 3
