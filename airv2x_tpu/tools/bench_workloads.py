@@ -14,12 +14,17 @@ LiDAR-det-only. This benchmarks, with bench.py's exact scan methodology
   lidar_seg  : hypes_yaml/airv2x/lidar/seg/where2comm.yaml — pillar encode
                -> fuse -> BevSegHead dynamic+static argmax (the
                postprocess of inference_airv2x_seg).
+  temporal_det : hypes_yaml/opv2v/opv2v_scope.yaml — SCOPE at OPV2V scale
+               (5 cavs, T=2 frames, per-frame encode+backbone, LSTM
+               temporal fusion, confidence-masked collaboration, late
+               blending) -> decode + rotated NMS.
 
 Camera scenes carry ~91 MB of images each, so the scan axis defaults to 16
-steps (1.5 GB resident) instead of the lidar bench's 64.
+steps (1.5 GB resident) instead of the lidar bench's 64; temporal scenes
+carry T x 5 x 20k points and default to 32.
 
-  python -m airv2x_tpu.tools.bench_workloads [--workloads camera_det,lidar_seg]
-      [--json out.json]
+  python -m airv2x_tpu.tools.bench_workloads
+      [--workloads camera_det,lidar_seg,temporal_det] [--json out.json]
 """
 
 from __future__ import annotations
@@ -55,11 +60,16 @@ def build_workload(name: str, scan_len: int):
     cfg = {
         "camera_det": "hypes_yaml/airv2x/camera/det/where2comm.yaml",
         "lidar_seg": "hypes_yaml/airv2x/lidar/seg/where2comm.yaml",
+        "temporal_det": "hypes_yaml/opv2v/opv2v_scope.yaml",
     }[name]
     hypes = load_yaml(os.path.join(repo, cfg))
     hypes["model"]["args"]["dtype"] = os.environ.get("BENCH_DTYPE", "bf16")
-    hypes["model"]["args"]["max_cav"] = dict(NUM_AGENTS)
-    hypes["train_params"]["max_cav"] = dict(NUM_AGENTS)
+    if name == "temporal_det":
+        num_agents = {"vehicle": int(hypes["model"]["args"]["max_cav"])}
+    else:
+        num_agents = dict(NUM_AGENTS)
+        hypes["model"]["args"]["max_cav"] = dict(NUM_AGENTS)
+        hypes["train_params"]["max_cav"] = dict(NUM_AGENTS)
     model = build_model(hypes)
     layout = SlotLayout.from_args(hypes["model"]["args"])
 
@@ -70,7 +80,7 @@ def build_workload(name: str, scan_len: int):
             rng,
             layout,
             num_objects=12,
-            num_agents=NUM_AGENTS,
+            num_agents=num_agents,
             points_per_agent=POINTS_PER_AGENT,
             lidar_range=hypes["preprocess"]["cav_lidar_range"],
             pts_per_box=100,
@@ -79,6 +89,16 @@ def build_workload(name: str, scan_len: int):
             margs = hypes["model"]["args"]
             hw = tuple(margs["vehicle"]["cam"]["data_aug_conf"]["final_dim"])
             add_camera_inputs(b, layout, rng, img_hw=hw, ncam=NCAM)
+        if name == "temporal_det":
+            # SCOPE temporal contract (scope_model.py __call__): stack T
+            # frames on axis 0 of each per-scene array + identity history
+            t = int(hypes["model"]["args"]["fusion_args"].get("frame", 2))
+            for k in ("points", "points_mask", "agent_mask",
+                      "pairwise_t_full"):
+                b[k] = np.stack([b[k]] * t, axis=0)
+            b["history_t"] = np.broadcast_to(
+                np.eye(4, dtype=np.float32), (t, 4, 4)
+            ).copy()
         scenes.append(b)
 
     reps = max(1, scan_len // N_SCENES)
@@ -102,23 +122,32 @@ def build_workload(name: str, scan_len: int):
       jax.tree.map(lambda x: x[0], xs))
 
     copts = model_compiler_options(hypes) or {}
-    if name == "camera_det":
+    if name in ("camera_det", "temporal_det"):
         anchors = jnp.asarray(
             generate_anchor_grid(hypes["postprocess"]["anchor_args"])
         )
         lidar_range = jnp.asarray(
             hypes["preprocess"]["cav_lidar_range"], jnp.float32
         )
-        tgt = hypes["postprocess"]["target_args"]
+        tgt = hypes["postprocess"].get("target_args", {})
+        num_class = int(hypes.get("num_class", 1))
+        obj_thr = float(tgt.get("obj_threshold", 0.2))
         eye = jnp.eye(4)
 
         def body(variables, batch):
             out = model.apply(variables, batch, train=False)
+            psm, rm = out["psm"][0], out["rm"][0]
+            if "obj" in out:
+                obj = out["obj"][0]
+            else:  # single-class OPV2V heads carry no obj branch
+                obj = jnp.ones(
+                    psm.shape[:2] + (psm.shape[-1] // num_class,), psm.dtype
+                )
             det = decode_detections(
-                out["psm"][0], out["rm"][0], out["obj"][0],
+                psm, rm, obj,
                 anchors, eye, lidar_range,
-                num_class=hypes["num_class"],
-                obj_threshold=tgt["obj_threshold"],
+                num_class=num_class,
+                obj_threshold=obj_thr,
                 nms_thresh=hypes["postprocess"]["nms_thresh"],
                 top_k=int(os.environ.get("BENCH_TOPK", "512")),
             )
@@ -174,9 +203,12 @@ def measure(name: str, scan_len: int, repeats: int = 3):
 
 def main(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("--workloads", default="camera_det,lidar_seg")
+    p.add_argument(
+        "--workloads", default="camera_det,lidar_seg,temporal_det"
+    )
     p.add_argument("--camera_scan", type=int, default=16)
     p.add_argument("--seg_scan", type=int, default=64)
+    p.add_argument("--temporal_scan", type=int, default=32)
     p.add_argument("--repeats", type=int, default=3)
     p.add_argument("--json", default=None)
     opt = p.parse_args(argv)
@@ -188,7 +220,8 @@ def main(argv=None):
 
     results = {}
     for name in opt.workloads.split(","):
-        scan = opt.camera_scan if name == "camera_det" else opt.seg_scan
+        scan = {"camera_det": opt.camera_scan,
+                "temporal_det": opt.temporal_scan}.get(name, opt.seg_scan)
         results[name] = measure(name, scan, opt.repeats)
         print(f"# {name}: {results[name]}", file=sys.stderr)
     line = json.dumps(results)
