@@ -125,6 +125,13 @@ def main():
         hypes["train_params"]["epoches"] = opt.epochs
         hypes["train_params"]["save_freq"] = max(opt.epochs // 4, 1)
         hypes["train_params"]["eval_freq"] = max(opt.epochs // 4, 1)
+        # demo recipe (tools/demo.py): the loss plateaus ~0.9 until the lr
+        # decays; the tiny config's 10/25/40 steps freeze the lr long
+        # before convergence — move them past the plateau like the demo
+        hypes["lr_scheduler"]["step_size"] = [
+            max(int(opt.epochs * 70 / 130), 1),
+            max(int(opt.epochs * 110 / 130), 2),
+        ]
         cfg_path = os.path.join(opt.log_dir, "chip_ap_gate.yaml")
         os.makedirs(opt.log_dir, exist_ok=True)
         save_yaml(hypes, cfg_path)
