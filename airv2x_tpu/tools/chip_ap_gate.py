@@ -53,6 +53,17 @@ def parse_args():
         "--model_dir", type=str, default="",
         help="skip training, gate an existing run dir",
     )
+    p.add_argument(
+        "--matmul_precision", type=str, default="highest",
+        choices=["default", "highest"],
+        help="device-side jax_default_matmul_precision for the gated eval. "
+        "The axon backend's default matmul precision is bfloat16-like "
+        "(see .claude/skills/verify), which alone shifts AP by ~0.005-0.011 "
+        "vs the f32 CPU eval (measured round 5, doc/chip_ap_gate_r05.json); "
+        "the gate pins 'highest' so it detects STRUCTURAL numerics bugs "
+        "(like the r4 jit-FMA NMS duplicates) rather than the documented "
+        "bf16 serving quantization",
+    )
     return p.parse_args()
 
 
@@ -111,6 +122,8 @@ def main():
     import jax
 
     jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    if opt.matmul_precision == "highest":
+        jax.config.update("jax_default_matmul_precision", "highest")
     backend = jax.default_backend()
 
     if opt.model_dir:
