@@ -178,7 +178,9 @@ def measure(name: str, scan_len: int, repeats: int = 3):
 
     variables, xs, run_all = build_workload(name, scan_len)
     t0 = time.perf_counter()
-    compiled = jax.jit(run_all).lower(variables, xs).compile()
+    # run_all is already jitted (with per-config compiler options when the
+    # config needs them — re-wrapping would nest jits and reject options)
+    compiled = run_all.lower(variables, xs).compile()
     compile_s = time.perf_counter() - t0
     t0 = time.perf_counter()
     float(compiled(variables, xs))
