@@ -165,6 +165,22 @@ def test_scope_e2e_parity():
     with patched_cuda_to_cpu():
         ref = PointPillarScope(args).eval()
         randomize_batchnorms(ref, rng)
+        # Upstream bug: MotionLSTM's gate biases are
+        # nn.Parameter(torch.Tensor(1, C, H, W)) — UNINITIALIZED memory
+        # (scope_modules/temporal_fusion_lstm.py:91-103; trained
+        # checkpoints carry real values, so it only bites fresh-init
+        # runs). Fresh heap pages usually read ~0, but after large jax
+        # allocations in the same process they can be NaN garbage — fill
+        # them deterministically; the converter copies whatever is there,
+        # so parity is tested on well-defined values either way.
+        with torch.no_grad():
+            fill = np.random.default_rng(97)
+            for name, p in ref.named_parameters():
+                if ".lstmcell.b_" in name:
+                    p.copy_(torch.tensor(
+                        fill.standard_normal(tuple(p.shape)) * 0.05,
+                        dtype=p.dtype,
+                    ))
         with torch.no_grad():
             out_ref = ref(data_dict)
 
