@@ -82,8 +82,11 @@ def bench_cell(hypes, batch_size: int, setting: str, steps: int,
         make_train_step,
     )
 
+    import re
+
     fence = "fence" in setting
-    accum = 2 if "accum" in setting else 1
+    m = re.search(r"accum(\d+)", setting)
+    accum = int(m.group(1)) if m else 1
     if batch_size % accum:
         return None
     os.environ["AIRV2X_ENC_BARRIER"] = "type" if fence else ""
